@@ -1,0 +1,462 @@
+"""DEFLATE shard encoder: tokens -> RFC 1951 bitstream (fixed-shape JAX).
+
+This is the encode-side mirror of the reference's (unfinished) compressor:
+where src/deflate_compress.c:269,279 says "// TODO: write lit / len,dist",
+this module actually serializes. Architecture (TPU-first, SURVEY §7):
+
+  * One shard (S bytes, S % 32768 == 0) is tokenized once by core/lz77 with a
+    true 32 KB window crossing block boundaries (RFC window semantics).
+  * The shard is cut into NB = S/32768 coding blocks. Per block we compute
+    litlen/dist histograms (segmented bincount), optimal length-limited
+    Huffman tables (core/huffman, vmapped), the RLE-coded code-length tree
+    (vectorized run detection, mirroring h_tree_d_lens src/h_tree.c:75-148
+    including runs that carry from the litlen into the dist lengths), and the
+    exact bit cost of stored/fixed/dynamic encodings; the cheapest block type
+    wins (reference README.md:15-20's optimization goal 2).
+  * Serialization is ONE uniform item list: every field (3-bit header, 14-bit
+    HLIT/HDIST/HCLEN, tree lengths, RLE symbols, Huffman-coded tokens, stored
+    payload words) becomes a (value, nbits, absolute bit offset) triple, and
+    core/bits.pack_items_to_words scatters them all in parallel. The only
+    sequential piece is a tiny per-block scan (NB steps) resolving stored-
+    block byte-alignment padding.
+  * A non-final shard ends with an empty stored block (sync flush), so shard
+    substreams are byte-aligned and concatenate into one valid DEFLATE
+    stream — this is what makes multi-chip data-parallel encoding format-
+    legal (SURVEY §2.2).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import bits as bits_mod
+from ..core import huffman, lz77
+from . import constants as C
+
+BLOCK = C.WINDOW_SIZE            # 32768 input bytes per coding block
+_PAYLOAD_ITEMS = BLOCK // 4      # stored payload as u32 items
+_RLE_SLOTS = 316                 # max hlit (286) + max hdist (30)
+_H_ITEMS = 1 + 1 + 19 + 2 * _RLE_SLOTS + 1 + 1 + _PAYLOAD_ITEMS
+
+# Fixed-tree tables as host constants (codes already canonical per RFC).
+_FIXED_LL_LEN = C.FIXED_LITLEN_LENGTHS[:C.NUM_LITLEN]
+_FIXED_LL_CODE = None
+_FIXED_D_LEN = C.FIXED_DIST_LENGTHS[:C.NUM_DIST]
+_FIXED_D_CODE = None
+
+
+def _init_fixed_tables():
+    global _FIXED_LL_CODE, _FIXED_D_CODE
+    from ..core.huffman import canonical_codes_np
+    _FIXED_LL_CODE = canonical_codes_np(C.FIXED_LITLEN_LENGTHS, 15)[:C.NUM_LITLEN]
+    _FIXED_D_CODE = canonical_codes_np(C.FIXED_DIST_LENGTHS, 15)[:C.NUM_DIST]
+
+
+_init_fixed_tables()
+
+
+def _force_two_codes(freqs: jnp.ndarray) -> jnp.ndarray:
+    """Ensure at least two active symbols per tree (zlib build_tree does the
+    same) so transmitted trees are complete and strict inflaters accept them.
+    freqs: (NB, n)."""
+    cnt = jnp.sum((freqs > 0).astype(jnp.int32), axis=1)
+    f0 = freqs[:, 0]
+    add0 = ((cnt == 0) | ((cnt == 1) & (f0 == 0))).astype(jnp.int32)
+    add1 = ((cnt == 0) | ((cnt == 1) & (f0 > 0))).astype(jnp.int32)
+    return freqs.at[:, 0].add(add0).at[:, 1].add(add1)
+
+
+def _tree_rle(comb: jnp.ndarray, total: jnp.ndarray):
+    """Vectorized RLE of code-length sequences (RFC 1951 §3.2.7 symbols
+    0-18). comb: i32[NB, 316] concatenated litlen+dist lengths (-1 past
+    `total`). Returns (sym, extra_val, extra_bits) each i32[NB, 316] with
+    sym == -1 where position t emits nothing.
+
+    Each position decides independently what symbol (if any) begins there,
+    from its run's (value, start, length) — no scan. Runs may cross the
+    litlen/dist boundary exactly like the reference's carry-over rule
+    (src/h_tree.c:89-101, src/deflate_decompress.c:223-231).
+    """
+    NB, W = comb.shape
+    t = jnp.arange(W, dtype=jnp.int32)[None, :]
+
+    prev = jnp.concatenate([jnp.full((NB, 1), -2, jnp.int32), comb[:, :-1]], axis=1)
+    neq = comb != prev                               # run starts
+    rs = jax.lax.cummax(jnp.where(neq, t, -1), axis=1)
+    # next run start strictly after t (or W)
+    nxt = jnp.where(neq, t, W)
+    ns = jnp.flip(jax.lax.cummin(jnp.flip(nxt, axis=1), axis=1), axis=1)
+    ns = jnp.concatenate([ns[:, 1:], jnp.full((NB, 1), W, jnp.int32)], axis=1)
+    ne = jnp.minimum(ns, total[:, None])             # run end (exclusive)
+
+    r = ne - rs                                      # run length
+    o = t - rs                                       # offset within run
+    v = comb
+
+    valid = (t < total[:, None]) & (v >= 0)
+
+    # ---- v != 0 ----
+    n_rep = r - 1
+    q6 = n_rep // 6
+    m6 = n_rep - 6 * q6
+    j = o - 1
+    nz_first = o == 0
+    nz_full16 = (j >= 0) & (j < 6 * q6) & (j % 6 == 0)
+    nz_tail16 = (m6 >= 3) & (j == 6 * q6)
+    nz_lit = (m6 < 3) & (j >= 6 * q6) & (j >= 0)
+    nz_sym = jnp.where(nz_first | nz_lit, v,
+                       jnp.where(nz_full16 | nz_tail16, 16, -1))
+    nz_ebits = jnp.where(nz_full16 | nz_tail16, 2, 0)
+    nz_eval = jnp.where(nz_full16, 6 - 3, jnp.where(nz_tail16, m6 - 3, 0))
+
+    # ---- v == 0 ----
+    q138 = r // 138
+    m138 = r - 138 * q138
+    in_full = o < 138 * q138
+    z_full18 = in_full & (o % 138 == 0)
+    o2 = o - 138 * q138
+    z_tail18 = (~in_full) & (m138 >= 11) & (o2 == 0)
+    z_tail17 = (~in_full) & (m138 >= 3) & (m138 < 11) & (o2 == 0)
+    z_lit = (~in_full) & (m138 < 3)
+    z_sym = jnp.where(z_full18 | z_tail18, 18,
+                      jnp.where(z_tail17, 17, jnp.where(z_lit, 0, -1)))
+    z_ebits = jnp.where(z_full18 | z_tail18, 7, jnp.where(z_tail17, 3, 0))
+    z_eval = jnp.where(z_full18, 138 - 11,
+                       jnp.where(z_tail18, m138 - 11,
+                                 jnp.where(z_tail17, m138 - 3, 0)))
+
+    is_zero = v == 0
+    sym = jnp.where(is_zero, z_sym, nz_sym)
+    ebits = jnp.where(is_zero, z_ebits, nz_ebits)
+    evals = jnp.where(is_zero, z_eval, nz_eval)
+
+    sym = jnp.where(valid, sym, -1)
+    ebits = jnp.where(valid & (sym >= 0), ebits, 0)
+    evals = jnp.where(valid & (sym >= 0), evals, 0)
+    return sym, evals, ebits
+
+
+def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
+                 final: jnp.ndarray, num_candidates: int = 4,
+                 lazy: bool = True):
+    """Encode one shard into a DEFLATE bitstream (jit-friendly, fixed shape).
+
+    Args:
+      data: u8[S], S % 32768 == 0, S >= 32768.
+      valid_len: i32 scalar in [1, S].
+      final: bool scalar — if True the last block gets BFINAL and no sync
+        flush; if False a byte-aligning empty stored block is appended.
+
+    Returns dict: words u32[OW], total_bits i32, plus per-block stats.
+    """
+    S = data.shape[0]
+    assert S % BLOCK == 0 and S >= BLOCK
+    NB = S // BLOCK
+    T = S + NB                       # token slot capacity (tokens + EOBs)
+    OUT_WORDS = (NB * (42 + 8 * BLOCK) + 96) // 32
+
+    data = data.astype(jnp.uint8)
+    valid_len = valid_len.astype(jnp.int32)
+    pos = jnp.arange(S, dtype=jnp.int32)
+    blk_of_pos = pos // BLOCK
+    LB = jnp.maximum((valid_len - 1) // BLOCK, 0)    # last emitted block
+    b_idx = jnp.arange(NB, dtype=jnp.int32)
+    b_emitted = b_idx <= LB
+
+    # ------------------------------------------------------------------ LZ77
+    tok = lz77.tokenize(data, valid_len, num_candidates=num_candidates,
+                        lazy=lazy)
+    chosen, length, dist = tok["chosen"], tok["length"], tok["dist"]
+
+    cs_excl = jnp.cumsum(chosen.astype(jnp.int32)) - chosen.astype(jnp.int32)
+    slot = cs_excl + blk_of_pos
+    cs_incl = cs_excl + chosen.astype(jnp.int32)
+    eob_slot = cs_incl[(b_idx + 1) * BLOCK - 1] + b_idx
+
+    # Token field arrays (capacity T).
+    is_match = chosen & (length >= C.MIN_MATCH)
+    len_to_code = jnp.asarray(C.LEN_TO_CODE)
+    len_to_ev = jnp.asarray(C.LEN_TO_EXTRA_VAL)
+    len_extra = jnp.asarray(C.LENGTH_EXTRA)
+    dist_base = jnp.asarray(C.DIST_BASE)
+    dist_extra = jnp.asarray(C.DIST_EXTRA)
+    dlo = jnp.asarray(C.DIST_TO_CODE_LO)
+    dhi = jnp.asarray(C.DIST_TO_CODE_HI)
+
+    lidx = jnp.clip(length - C.MIN_MATCH, 0, 255)
+    ll_sym_pos = jnp.where(is_match, len_to_code[lidx], data.astype(jnp.int32))
+    ll_ev_pos = jnp.where(is_match, len_to_ev[lidx], 0)
+    ll_eb_pos = jnp.where(is_match,
+                          len_extra[jnp.clip(len_to_code[lidx] - 257, 0, 28)], 0)
+    d_safe = jnp.maximum(dist, 1)
+    dcode = jnp.where(d_safe <= 256, dlo[d_safe - 1],
+                      dhi[jnp.clip((d_safe - 1) >> 7, 0, 255)])
+    d_sym_pos = jnp.where(is_match, dcode, 0)
+    d_ev_pos = jnp.where(is_match, dist - dist_base[dcode], 0)
+    d_eb_pos = jnp.where(is_match, dist_extra[dcode], 0)
+
+    def scat(src, fill):
+        arr = jnp.full((T,), fill, jnp.int32)
+        tgt = jnp.where(chosen, slot, T)
+        return arr.at[tgt].set(src.astype(jnp.int32), mode="drop")
+
+    ll_sym = scat(ll_sym_pos, 0)
+    ll_ev = scat(ll_ev_pos, 0)
+    ll_eb = scat(ll_eb_pos, 0)
+    d_sym = scat(d_sym_pos, 0)
+    d_ev = scat(d_ev_pos, 0)
+    d_eb = scat(d_eb_pos, 0)
+    tok_blk = scat(blk_of_pos, 0)
+    tok_valid = jnp.zeros((T,), jnp.bool_).at[
+        jnp.where(chosen, slot, T)].set(True, mode="drop")
+    tok_is_match = jnp.zeros((T,), jnp.bool_).at[
+        jnp.where(is_match, slot, T)].set(True, mode="drop")
+
+    # EOB tokens (symbol 256) per emitted block.
+    eob_tgt = jnp.where(b_emitted, eob_slot, T)
+    ll_sym = ll_sym.at[eob_tgt].set(C.EOB, mode="drop")
+    tok_blk = tok_blk.at[eob_tgt].set(b_idx, mode="drop")
+    tok_valid = tok_valid.at[eob_tgt].set(True, mode="drop")
+
+    # ------------------------------------------------------- histograms/trees
+    ll_key = tok_blk * C.NUM_LITLEN + ll_sym
+    ll_freq = huffman.histogram(ll_key, NB * C.NUM_LITLEN,
+                                mask=tok_valid).reshape(NB, C.NUM_LITLEN)
+    d_key = tok_blk * C.NUM_DIST + d_sym
+    d_freq = huffman.histogram(d_key, NB * C.NUM_DIST,
+                               mask=tok_valid & tok_is_match).reshape(NB, C.NUM_DIST)
+
+    ll_freq_t = _force_two_codes(ll_freq)
+    d_freq_t = _force_two_codes(d_freq)
+
+    build15 = jax.vmap(lambda f: huffman.huffman_code_lengths(f, 15))
+    ll_len_dyn = build15(ll_freq_t)                       # (NB, 286)
+    d_len_dyn = build15(d_freq_t)                         # (NB, 30)
+    codes15 = jax.vmap(lambda l: huffman.canonical_codes(l, 15))
+    ll_code_dyn = codes15(ll_len_dyn)
+    d_code_dyn = codes15(d_len_dyn)
+
+    # ------------------------------------------------- tree description (RLE)
+    sym_max = jnp.max(jnp.where(ll_len_dyn > 0,
+                                jnp.arange(C.NUM_LITLEN)[None, :], 0), axis=1)
+    hlit = jnp.maximum(sym_max + 1, 257)
+    dmax = jnp.max(jnp.where(d_len_dyn > 0,
+                             jnp.arange(C.NUM_DIST)[None, :], 0), axis=1)
+    hdist = jnp.maximum(dmax + 1, 1)
+    total_lens = hlit + hdist
+
+    t_idx = jnp.arange(_RLE_SLOTS, dtype=jnp.int32)[None, :]
+    in_ll = t_idx < hlit[:, None]
+    ll_idx = jnp.broadcast_to(jnp.clip(t_idx, 0, C.NUM_LITLEN - 1),
+                              (NB, _RLE_SLOTS))
+    d_idx = jnp.clip(t_idx - hlit[:, None], 0, C.NUM_DIST - 1)
+    ll_part = jnp.take_along_axis(ll_len_dyn, ll_idx, axis=1)
+    d_part = jnp.take_along_axis(d_len_dyn, d_idx, axis=1)
+    comb = jnp.where(in_ll, ll_part, d_part)
+    comb = jnp.where(t_idx < total_lens[:, None], comb, -1)
+
+    rle_sym, rle_ev, rle_eb = _tree_rle(comb, total_lens)
+    rle_emitted = rle_sym >= 0
+
+    clen_key = b_idx[:, None] * C.NUM_CLEN + jnp.maximum(rle_sym, 0)
+    clen_freq = huffman.histogram(clen_key, NB * C.NUM_CLEN,
+                                  mask=rle_emitted).reshape(NB, C.NUM_CLEN)
+    clen_freq_t = _force_two_codes(clen_freq)
+    clen_len = jax.vmap(lambda f: huffman.huffman_code_lengths(f, 7))(clen_freq_t)
+    clen_code = jax.vmap(lambda l: huffman.canonical_codes(l, 7))(clen_len)
+
+    clen_order = jnp.asarray(C.CLEN_ORDER)
+    lens_perm = clen_len[:, clen_order]                  # (NB, 19)
+    perm_max = jnp.max(jnp.where(lens_perm > 0,
+                                 jnp.arange(C.NUM_CLEN)[None, :], 0), axis=1)
+    hclen = jnp.maximum(perm_max + 1, 4)
+
+    # ------------------------------------------------------------- bit costs
+    ll_extra_tot = jnp.sum(ll_freq[:, 257:286] * len_extra[None, :], axis=1)
+    d_extra_tot = jnp.sum(d_freq * dist_extra[None, :], axis=1)
+
+    dyn_payload = (jnp.sum(ll_freq * ll_len_dyn, axis=1) + ll_extra_tot
+                   + jnp.sum(d_freq * d_len_dyn, axis=1) + d_extra_tot)
+    rle_bits_mat = jnp.where(
+        rle_emitted,
+        jnp.take_along_axis(clen_len, jnp.maximum(rle_sym, 0), axis=1) + rle_eb,
+        0)
+    tree_bits = 14 + 3 * hclen + jnp.sum(rle_bits_mat, axis=1)
+    dyn_cost = 3 + tree_bits + dyn_payload
+
+    fll = jnp.asarray(_FIXED_LL_LEN)
+    fdl = jnp.asarray(_FIXED_D_LEN)
+    fix_cost = (3 + jnp.sum(ll_freq * fll[None, :], axis=1) + ll_extra_tot
+                + jnp.sum(d_freq * fdl[None, :], axis=1) + d_extra_tot)
+
+    blen = jnp.clip(valid_len - b_idx * BLOCK, 0, BLOCK)
+    sto_cost = 3 + 7 + 32 + 8 * blen
+
+    costs = jnp.stack([sto_cost, fix_cost, dyn_cost], axis=1)
+    btype = jnp.argmin(costs, axis=1).astype(jnp.int32)  # 0/1/2 == RFC BTYPE
+
+    # Effective per-block code tables for token emission.
+    use_dyn = (btype == C.BTYPE_DYNAMIC)[:, None]
+    ll_len_eff = jnp.where(use_dyn, ll_len_dyn, fll[None, :])
+    d_len_eff = jnp.where(use_dyn, d_len_dyn, fdl[None, :])
+    ll_code_eff = jnp.where(use_dyn, ll_code_dyn,
+                            jnp.asarray(_FIXED_LL_CODE.astype(np.int32))[None, :])
+    d_code_eff = jnp.where(use_dyn, d_code_dyn,
+                           jnp.asarray(_FIXED_D_CODE.astype(np.int32))[None, :])
+    ll_code_rev = bits_mod.reverse_bits(ll_code_eff.astype(jnp.uint32),
+                                        ll_len_eff)
+    d_code_rev = bits_mod.reverse_bits(d_code_eff.astype(jnp.uint32),
+                                       d_len_eff)
+
+    # ------------------------------------------------------------ token items
+    flat_ll = (tok_blk * C.NUM_LITLEN + ll_sym).reshape(-1)
+    tk_ll_bits = ll_len_eff.reshape(-1)[flat_ll]
+    tk_ll_code = ll_code_rev.reshape(-1)[flat_ll]
+    flat_d = (tok_blk * C.NUM_DIST + d_sym).reshape(-1)
+    tk_d_bits = d_len_eff.reshape(-1)[flat_d]
+    tk_d_code = d_code_rev.reshape(-1)[flat_d]
+
+    huff_blk = (btype != C.BTYPE_STORED)[tok_blk] & tok_valid & b_emitted[tok_blk]
+
+    it_ll_val = (tk_ll_code | (ll_ev.astype(jnp.uint32) << tk_ll_bits.astype(jnp.uint32)))
+    it_ll_nb = jnp.where(huff_blk, tk_ll_bits + ll_eb, 0)
+    it_d_val = (tk_d_code | (d_ev.astype(jnp.uint32) << tk_d_bits.astype(jnp.uint32)))
+    it_d_nb = jnp.where(huff_blk & tok_is_match, tk_d_bits + d_eb, 0)
+
+    tok_vals = jnp.stack([it_ll_val, it_d_val], axis=1).reshape(2 * T)
+    tok_nbs = jnp.stack([it_ll_nb, it_d_nb], axis=1).reshape(2 * T)
+    tok_item_blk = jnp.stack([tok_blk, tok_blk], axis=1).reshape(2 * T)
+
+    # Per-block token bit totals and per-block first-token-slot.
+    T_b = huffman.histogram(tok_item_blk, NB, weights=tok_nbs)
+    tok_start = cs_excl[b_idx * BLOCK] + b_idx          # first slot of block b
+    ctok = jnp.cumsum(tok_nbs) - tok_nbs                # exclusive, (2T,)
+    ctok_block0 = ctok[2 * tok_start]
+
+    # ----------------------------------------------------------- header items
+    ll_eb_cl = None  # naming guard
+    hdr_vals = jnp.zeros((NB, _H_ITEMS), jnp.uint32)
+    hdr_nbs = jnp.zeros((NB, _H_ITEMS), jnp.int32)
+
+    is_dyn = btype == C.BTYPE_DYNAMIC
+    is_sto = btype == C.BTYPE_STORED
+    bfinal = (b_idx == LB) & final
+    hdr_vals = hdr_vals.at[:, 0].set(
+        (bfinal.astype(jnp.uint32)) | (btype.astype(jnp.uint32) << 1))
+    hdr_nbs = hdr_nbs.at[:, 0].set(jnp.where(b_emitted, 3, 0))
+
+    dynhdr = ((hlit - 257) | ((hdist - 1) << 5) | ((hclen - 4) << 10)).astype(jnp.uint32)
+    hdr_vals = hdr_vals.at[:, 1].set(dynhdr)
+    hdr_nbs = hdr_nbs.at[:, 1].set(jnp.where(b_emitted & is_dyn, 14, 0))
+
+    j19 = jnp.arange(19)[None, :]
+    hdr_vals = hdr_vals.at[:, 2:21].set(lens_perm.astype(jnp.uint32))
+    hdr_nbs = hdr_nbs.at[:, 2:21].set(
+        jnp.where((b_emitted & is_dyn)[:, None] & (j19 < hclen[:, None]), 3, 0))
+
+    clen_code_rev = bits_mod.reverse_bits(clen_code, clen_len, 7)
+    rle_code = jnp.take_along_axis(clen_code_rev, jnp.maximum(rle_sym, 0), axis=1)
+    rle_code_bits = jnp.take_along_axis(clen_len, jnp.maximum(rle_sym, 0), axis=1)
+    emit_mask = (b_emitted & is_dyn)[:, None] & rle_emitted
+    rle_pair_vals = jnp.stack([rle_code.astype(jnp.uint32),
+                               rle_ev.astype(jnp.uint32)], axis=2)
+    rle_pair_nbs = jnp.stack([jnp.where(emit_mask, rle_code_bits, 0),
+                              jnp.where(emit_mask, rle_eb, 0)], axis=2)
+    hdr_vals = hdr_vals.at[:, 21:21 + 2 * _RLE_SLOTS].set(
+        rle_pair_vals.reshape(NB, 2 * _RLE_SLOTS))
+    hdr_nbs = hdr_nbs.at[:, 21:21 + 2 * _RLE_SLOTS].set(
+        rle_pair_nbs.reshape(NB, 2 * _RLE_SLOTS))
+
+    # stored: pad (slot 653, filled after the scan), LEN/NLEN (654), payload
+    lennlen = (blen.astype(jnp.uint32)
+               | ((~blen.astype(jnp.uint32) & np.uint32(0xFFFF)) << np.uint32(16)))
+    hdr_vals = hdr_vals.at[:, 654].set(lennlen)
+    hdr_nbs = hdr_nbs.at[:, 654].set(jnp.where(b_emitted & is_sto, 32, 0))
+
+    quads = data.reshape(NB, _PAYLOAD_ITEMS, 4).astype(jnp.uint32)
+    pay_val = (quads[..., 0] | (quads[..., 1] << 8)
+               | (quads[..., 2] << 16) | (quads[..., 3] << 24))
+    p4 = jnp.arange(_PAYLOAD_ITEMS, dtype=jnp.int32)[None, :] * 4
+    pay_nb = 8 * jnp.clip(blen[:, None] - p4, 0, 4)
+    pay_nb = jnp.where((b_emitted & is_sto)[:, None], pay_nb, 0)
+    hdr_vals = hdr_vals.at[:, 655:].set(pay_val)
+    hdr_nbs = hdr_nbs.at[:, 655:].set(pay_nb)
+
+    # --------------------------------------------- block layout scan (NB steps)
+    hdr_fixed = jnp.sum(hdr_nbs, axis=1)     # without pad
+
+    def layout_step(p, b):
+        pad = jnp.where(b_emitted[b] & is_sto[b], (8 - ((p + 3) % 8)) % 8, 0)
+        block_total = hdr_fixed[b] + pad + T_b[b]
+        return p + block_total, (p, pad)
+
+    p_end, (block_base, pad_b) = jax.lax.scan(layout_step, jnp.int32(0), b_idx)
+
+    hdr_nbs = hdr_nbs.at[:, 653].set(pad_b)
+
+    # Tail: sync flush when not final (empty stored block + byte align).
+    sf_pad = (8 - ((p_end + 3) % 8)) % 8
+    tail_vals = jnp.array([0, 0, 0xFFFF0000], dtype=jnp.uint32)
+    tail_nbs = jnp.where(final,
+                         jnp.zeros((3,), jnp.int32),
+                         jnp.array([3, 0, 32], jnp.int32).at[1].set(sf_pad))
+    tail_offs = jnp.stack([p_end, p_end + 3, p_end + 3 + sf_pad]).astype(jnp.int32)
+    total_bits = jnp.where(final, p_end, p_end + 3 + sf_pad + 32)
+
+    # ----------------------------------------------------------- item offsets
+    hdr_excl = jnp.cumsum(hdr_nbs, axis=1) - hdr_nbs
+    hdr_offs = block_base[:, None] + hdr_excl
+
+    token_base = block_base + hdr_fixed + pad_b
+    tok_offs = token_base[tok_item_blk] + (ctok - ctok_block0[tok_item_blk])
+
+    values = jnp.concatenate([hdr_vals.reshape(-1), tok_vals, tail_vals])
+    nbits = jnp.concatenate([hdr_nbs.reshape(-1), tok_nbs, tail_nbs])
+    offsets = jnp.concatenate([hdr_offs.reshape(-1), tok_offs, tail_offs])
+
+    words = bits_mod.pack_items_to_words(values, nbits, offsets, OUT_WORDS)
+
+    n_tokens = jnp.sum(tok_valid.astype(jnp.int32))
+    n_matches = jnp.sum(tok_is_match.astype(jnp.int32))
+    stats = {
+        "btype": jnp.where(b_emitted, btype, -1),
+        "block_bits": jnp.where(b_emitted, hdr_fixed + pad_b + T_b, 0),
+        "block_bytes": blen,
+        "tree_bits": jnp.where(b_emitted & is_dyn, tree_bits, 0),
+        "n_tokens": n_tokens,
+        "n_matches": n_matches,
+    }
+    return {"words": words, "total_bits": total_bits, **stats}
+
+
+@functools.partial(jax.jit, static_argnames=("num_candidates", "lazy"))
+def encode_shard_jit(data, valid_len, final, num_candidates: int = 4,
+                     lazy: bool = True):
+    return encode_shard(data, valid_len, final, num_candidates, lazy)
+
+
+def deflate_compress_bytes(raw: bytes, shard_size: int = 1 << 20,
+                           num_candidates: int = 4, lazy: bool = True) -> bytes:
+    """Host convenience: raw bytes -> complete DEFLATE stream (single
+    process; shards sequentially through the jitted kernel)."""
+    if len(raw) == 0:
+        # one empty final stored block
+        return b"\x01\x00\x00\xff\xff"
+    out = []
+    n = len(raw)
+    shard_size = max(BLOCK, (shard_size // BLOCK) * BLOCK)
+    nsh = (n + shard_size - 1) // shard_size
+    for s in range(nsh):
+        part = raw[s * shard_size:(s + 1) * shard_size]
+        vl = len(part)
+        buf = np.zeros(shard_size, dtype=np.uint8)
+        buf[:vl] = np.frombuffer(part, dtype=np.uint8)
+        r = encode_shard_jit(jnp.asarray(buf), jnp.int32(vl),
+                             jnp.asarray(s == nsh - 1),
+                             num_candidates=num_candidates, lazy=lazy)
+        tb = int(r["total_bits"])
+        out.append(bits_mod.words_to_bytes(np.asarray(r["words"]), tb))
+    return b"".join(out)
