@@ -1,0 +1,85 @@
+"""End-to-end encoder round-trips, cross-validated two ways (SURVEY §4):
+  1. our stream -> CPython zlib inflate (external oracle),
+  2. our stream -> our own independent inflater.
+"""
+import zlib
+
+import numpy as np
+import pytest
+
+from deflate_compression_tpu.format.deflate import deflate_compress_bytes
+from deflate_compression_tpu.decode.inflate import inflate_raw
+
+SHARD = 65536
+
+
+def roundtrip(raw: bytes, **kw):
+    comp = deflate_compress_bytes(raw, shard_size=SHARD, **kw)
+    assert zlib.decompress(comp, wbits=-15) == raw
+    got, _ = inflate_raw(comp)
+    assert got == raw
+    return comp
+
+
+def test_empty():
+    assert roundtrip(b"") == b"\x01\x00\x00\xff\xff"
+
+
+def test_single_byte():
+    roundtrip(b"A")
+
+
+def test_small_text():
+    roundtrip(b"the quick brown fox jumps over the lazy dog " * 10)
+
+
+def test_bee_movie_corpus():
+    raw = open("/root/reference/test_files/original/bee_movie_script.txt", "rb").read()
+    comp = roundtrip(raw)
+    # sanity on ratio: must beat 50% on this text corpus
+    assert len(comp) < len(raw) * 0.5
+
+
+def test_rfc1951_corpus():
+    raw = open("/root/reference/docs/rfc1951.txt", "rb").read()
+    roundtrip(raw)
+
+
+def test_sunrise_pixels():
+    raw = open("/root/reference/results/sunrise.px", "rb").read()
+    roundtrip(raw)
+
+
+def test_random_picks_stored():
+    raw = np.random.default_rng(0).integers(0, 256, 100000).astype(np.uint8).tobytes()
+    comp = roundtrip(raw)
+    # stored-block fallback keeps expansion tiny: <= 5 bytes per 32KB block + slack
+    assert len(comp) <= len(raw) + 5 * 5 + 16
+
+
+def test_zeros():
+    comp = roundtrip(b"\0" * 200000)
+    # ~7 coding blocks, each a few dozen bytes of dynamic-tree overhead
+    assert len(comp) < 400
+
+
+def test_multi_shard_boundary_sizes():
+    rng = np.random.default_rng(1)
+    base = (b"abcdefgh" * 5000)
+    for n in (SHARD - 1, SHARD, SHARD + 1, 2 * SHARD + 17):
+        raw = (base * ((n // len(base)) + 1))[:n]
+        roundtrip(raw)
+
+
+def test_shard_sizes_change_stream_not_content():
+    raw = open("/root/reference/docs/rfc1950.txt", "rb").read()
+    c1 = deflate_compress_bytes(raw, shard_size=32768)
+    c2 = deflate_compress_bytes(raw, shard_size=SHARD)
+    assert zlib.decompress(c1, wbits=-15) == raw
+    assert zlib.decompress(c2, wbits=-15) == raw
+
+
+def test_determinism():
+    raw = open("/root/reference/docs/rfc1951.txt", "rb").read()
+    assert deflate_compress_bytes(raw, shard_size=SHARD) == \
+        deflate_compress_bytes(raw, shard_size=SHARD)
