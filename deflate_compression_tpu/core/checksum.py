@@ -74,7 +74,10 @@ def adler32_jax(data: jnp.ndarray, valid_len: jnp.ndarray) -> jnp.ndarray:
         a = (a + csum[c]) % ADLER_MOD
         return (a, b)
 
-    a, b = jax.lax.fori_loop(0, nchunks, body, (jnp.uint32(1), jnp.uint32(0)))
+    # data-dependent init keeps varying-axis types stable under shard_map
+    zero = csum[0] * 0
+    a, b = jax.lax.fori_loop(0, nchunks, body,
+                             (jnp.uint32(1) + zero, jnp.uint32(0) + zero))
     return ((b << np.uint32(16)) | a).astype(jnp.uint32)
 
 

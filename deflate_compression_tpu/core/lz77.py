@@ -131,8 +131,10 @@ def greedy_parse(token_len: jnp.ndarray) -> jnp.ndarray:
     """
     S = token_len.shape[0]
     nxt = jnp.minimum(jnp.arange(S, dtype=jnp.int32) + token_len, S)
-    chosen = jnp.zeros((S + 1,), jnp.bool_).at[0].set(True)
     jump = jnp.concatenate([nxt, jnp.array([S], jnp.int32)])  # S is absorbing
+    # `| (jump < 0)` is always False but ties the carry to the data so its
+    # varying-axis type matches inside shard_map (scan-vma rule).
+    chosen = jnp.zeros((S + 1,), jnp.bool_).at[0].set(True) | (jump < 0)
 
     rounds = max(1, int(np.ceil(np.log2(max(S, 2)))))
     def body(carry, _):

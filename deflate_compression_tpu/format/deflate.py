@@ -393,7 +393,10 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
         block_total = hdr_fixed[b] + pad + T_b[b]
         return p + block_total, (p, pad)
 
-    p_end, (block_base, pad_b) = jax.lax.scan(layout_step, jnp.int32(0), b_idx)
+    # data-dependent zero init keeps the carry's varying-axis type stable
+    # under shard_map (see core/lz77.greedy_parse)
+    p0 = jnp.int32(0) + hdr_fixed[0] * 0
+    p_end, (block_base, pad_b) = jax.lax.scan(layout_step, p0, b_idx)
 
     hdr_nbs = hdr_nbs.at[:, 653].set(pad_b)
 
