@@ -1,0 +1,233 @@
+"""Command-line interface — the `zencode` the reference never finished (its
+main() is commented out, src/deflate_compress.c:349-353) plus the util/
+tooling (print_bits inspector util/src/print_bits.c, read_img/conv_img pixel
+dumpers util/bin/read_img.py + util/src/conv_img.c).
+
+Subcommands:
+  compress    file -> zlib/gzip/raw DEFLATE (TPU-accelerated encoder)
+  decompress  container-sniffing inflate
+  inspect     structural dump of a DEFLATE stream (blocks, types, sizes)
+  png         decode a PNG; print info or dump raw pixels ("R G B" lines,
+              the read_img.py format, or raw bytes, the conv_img format)
+  trace       per-block cost-model trace CSV (the fd_stats channel,
+              reference src/include/deflate_ext.h:19-31)
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _read(path: str) -> bytes:
+    if path == "-":
+        return sys.stdin.buffer.read()
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def _write(path: str, data: bytes) -> None:
+    if path == "-":
+        sys.stdout.buffer.write(data)
+    else:
+        with open(path, "wb") as f:
+            f.write(data)
+
+
+def cmd_compress(args) -> int:
+    from .models.codec import make_codec
+    from .utils.config import CodecConfig
+    cfg = CodecConfig(shard_size=args.shard_size,
+                      num_candidates=args.candidates,
+                      lazy=not args.greedy, container=args.container)
+    raw = _read(args.input)
+    t0 = time.perf_counter()
+    if args.distributed:
+        from .parallel.dist import compress_distributed
+        out = compress_distributed(raw, shard_size=cfg.shard_size,
+                                   num_candidates=cfg.num_candidates,
+                                   lazy=cfg.lazy, container=cfg.container)
+        stats = None
+    else:
+        out, stats = make_codec(cfg).compress(raw, return_stats=True)
+    dt = time.perf_counter() - t0
+    _write(args.output, out)
+    if args.verbose:
+        rate = len(raw) / dt / 1e6 if dt > 0 else 0
+        print(f"{len(raw)} -> {len(out)} bytes "
+              f"({8 * len(out) / max(1, len(raw)):.3f} bits/byte, "
+              f"{rate:.1f} MB/s)", file=sys.stderr)
+        if stats:
+            s, f, d = stats.btype_counts
+            print(f"blocks: {stats.n_blocks} (stored {s}, fixed {f}, "
+                  f"dynamic {d}); tokens {stats.n_tokens} "
+                  f"(matches {stats.n_matches})", file=sys.stderr)
+    if args.stats and stats:
+        with open(args.stats, "w") as f:
+            f.write(stats.to_csv())
+    return 0
+
+
+def cmd_decompress(args) -> int:
+    from .format import constants as C
+    from .models.codec import DeflateCodec, GzipCodec, ZlibCodec
+    from .utils.config import CodecConfig
+    data = _read(args.input)
+    cfg = CodecConfig(verify_checksums=not args.no_verify)
+    if data[:2] == C.GZIP_MAGIC:
+        codec = GzipCodec(cfg)
+    elif len(data) >= 2 and (data[0] & 0x0F) == 8 and \
+            ((data[0] << 8) | data[1]) % 31 == 0:
+        codec = ZlibCodec(cfg)
+    else:
+        codec = DeflateCodec(cfg)
+    _write(args.output, codec.decompress(data))
+    return 0
+
+
+def cmd_inspect(args) -> int:
+    """Structural stream dump (bit-level tooling analogue of
+    util/src/print_bits.c)."""
+    from .core.bits import BitReader
+    from .decode.inflate import _read_dynamic_tables, _FIXED_LL_LUT, \
+        _FIXED_D_LUT, _read_symbol
+    from .format import constants as C
+    data = _read(args.input)
+    pos = 0
+    if data[:2] == C.GZIP_MAGIC:
+        from .format.containers import gzip_parse_header
+        pos = 8 * gzip_parse_header(data)
+        print(f"gzip container, deflate at byte {pos // 8}")
+    elif (data[0] & 0x0F) == 8 and ((data[0] << 8) | data[1]) % 31 == 0:
+        pos = 16
+        print(f"zlib container: CMF={data[0]:#04x} FLG={data[1]:#04x} "
+              f"window={1 << ((data[0] >> 4) + 8)}")
+    r = BitReader(data, pos)
+    bi = 0
+    total_out = 0
+    while True:
+        start = r.pos
+        bfinal = r.read(1)
+        btype = r.read(2)
+        tname = {0: "stored", 1: "fixed", 2: "dynamic"}.get(btype, "BAD")
+        nsyms = 0
+        if btype == 0:
+            r.align_byte()
+            ln = r.read(16)
+            r.read(16)
+            r.read_bytes(ln)
+            out_bytes = ln
+        else:
+            if btype == 1:
+                ll, dd = _FIXED_LL_LUT, _FIXED_D_LUT
+            else:
+                ll, dd = _read_dynamic_tables(r)
+            out_bytes = 0
+            while True:
+                s = _read_symbol(r, *ll)
+                nsyms += 1
+                if s == 256:
+                    break
+                if s < 256:
+                    out_bytes += 1
+                else:
+                    li = s - 257
+                    length = int(C.LENGTH_BASE[li]) + r.read(int(C.LENGTH_EXTRA[li]))
+                    ds = _read_symbol(r, *dd)
+                    r.read(int(C.DIST_EXTRA[ds]))
+                    out_bytes += length
+        total_out += out_bytes
+        print(f"block {bi}: {tname:8s} bfinal={bfinal} "
+              f"bits={r.pos - start:8d} out={out_bytes:6d} syms={nsyms}")
+        bi += 1
+        if bfinal:
+            break
+    print(f"total: {bi} blocks, {total_out} bytes out, "
+          f"{(r.pos - pos + 7) // 8} compressed payload bytes")
+    return 0
+
+
+def cmd_png(args) -> int:
+    from .png.decoder import png_decode
+    img = png_decode(_read(args.input))
+    ct_names = {0: "grayscale", 2: "truecolor", 3: "palette",
+                4: "gray+alpha", 6: "RGBA"}
+    print(f"{img.width}x{img.height} {ct_names[img.color_type]} "
+          f"{img.bit_depth}-bit interlace={img.interlace}", file=sys.stderr)
+    for k, v in img.metadata.items():
+        print(f"  {k}: {str(v)[:80]}", file=sys.stderr)
+    for w in img.warnings:
+        print(f"  warning: {w}", file=sys.stderr)
+    if args.rgb_text:
+        # read_img.py format: one "R G B" line per pixel (util/bin/read_img.py:15-19)
+        rgba = img.to_rgba()
+        out = []
+        for row in rgba.reshape(-1, rgba.shape[-1]):
+            out.append(f"{row[0]} {row[1]} {row[2]}")
+        _write(args.output, ("\n".join(out) + "\n").encode())
+    elif args.raw:
+        # conv_img format: raw RGB bytes (util/src/conv_img.c:6-18)
+        _write(args.output, img.to_rgba()[..., :3].astype("uint8").tobytes())
+    return 0
+
+
+def cmd_trace(args) -> int:
+    from .models.codec import ZlibCodec
+    from .utils.config import CodecConfig
+    raw = _read(args.input)
+    _, stats = ZlibCodec(CodecConfig()).compress(raw, return_stats=True)
+    out = stats.to_csv()
+    _write(args.output, out.encode())
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="deflate_compression_tpu",
+                                description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("compress")
+    c.add_argument("input")
+    c.add_argument("-o", "--output", default="-")
+    c.add_argument("--container", default="zlib",
+                   choices=["raw", "zlib", "gzip"])
+    c.add_argument("--shard-size", type=int, default=1 << 20)
+    c.add_argument("--candidates", type=int, default=4)
+    c.add_argument("--greedy", action="store_true",
+                   help="disable lazy matching")
+    c.add_argument("--distributed", action="store_true",
+                   help="use all devices in a data-parallel mesh")
+    c.add_argument("--stats", help="write per-block cost CSV here")
+    c.add_argument("-v", "--verbose", action="store_true")
+    c.set_defaults(fn=cmd_compress)
+
+    d = sub.add_parser("decompress")
+    d.add_argument("input")
+    d.add_argument("-o", "--output", default="-")
+    d.add_argument("--no-verify", action="store_true")
+    d.set_defaults(fn=cmd_decompress)
+
+    i = sub.add_parser("inspect")
+    i.add_argument("input")
+    i.set_defaults(fn=cmd_inspect)
+
+    g = sub.add_parser("png")
+    g.add_argument("input")
+    g.add_argument("-o", "--output", default="-")
+    g.add_argument("--rgb-text", action="store_true",
+                   help="dump 'R G B' lines (read_img.py format)")
+    g.add_argument("--raw", action="store_true",
+                   help="dump raw RGB bytes (conv_img format)")
+    g.set_defaults(fn=cmd_png)
+
+    t = sub.add_parser("trace")
+    t.add_argument("input")
+    t.add_argument("-o", "--output", default="-")
+    t.set_defaults(fn=cmd_trace)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -59,43 +59,41 @@ def _package_merge_lengths(leaf_w: jnp.ndarray, k: jnp.ndarray, n: int,
     leaf_flag2 = jnp.concatenate([jnp.ones((n,), jnp.int32),
                                   jnp.zeros((n,), jnp.int32)])
 
-    # Level 1 list = leaves only.
-    levels_cumleaf = []        # each: i32[2n+1] prefix count of leaves
-    w = leaves2
-    is_leaf = leaf_flag2 * (w < INF_W)
-    cum = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(is_leaf)])
-    levels_cumleaf.append(cum)
+    def cumleaf(w, f):
+        is_leaf = f * (w < INF_W)
+        return jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                jnp.cumsum(is_leaf)])
 
-    for _ in range(max_bits - 1):
-        # pairs of current level
-        pw = w.reshape(n, 2).sum(axis=1)
-        pw = jnp.minimum(pw, INF_W)                     # INF stays INF
-        # merge leaves (flag 1) with packages (flag 0); leaf-first on ties
-        cat_w = jnp.concatenate([leaves2[:n], pw])      # [2n]
-        cat_f = jnp.concatenate([jnp.ones((n,), jnp.int32),
-                                 jnp.zeros((n,), jnp.int32)])
+    # Level 1 list = leaves only; levels 2..L built by a scan (one compiled
+    # merge body instead of max_bits-1 unrolled copies — keeps the TPU HLO
+    # small).
+    cum1 = cumleaf(leaves2, leaf_flag2)
+
+    cat_f = jnp.concatenate([jnp.ones((n,), jnp.int32),
+                             jnp.zeros((n,), jnp.int32)])
+
+    def level_step(w, _):
+        pw = jnp.minimum(w.reshape(n, 2).sum(axis=1), INF_W)  # pairs; INF abs.
+        cat_w = jnp.concatenate([leaves2[:n], pw])      # merge w/ leaves
         key = cat_w * 2 + (1 - cat_f)                   # leaf before package
         order = jnp.argsort(key, stable=True)
-        w = cat_w[order]
-        f = cat_f[order]
-        is_leaf = f * (w < INF_W)
-        cum = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(is_leaf)])
-        levels_cumleaf.append(cum)
+        w2 = cat_w[order]
+        return w2, cumleaf(w2, cat_f[order])
+
+    _, cums = jax.lax.scan(level_step, leaves2, None, length=max_bits - 1)
+    levels_cumleaf = jnp.concatenate([cum1[None], cums], axis=0)  # (L, 2n+1)
 
     # Top-down: choose first 2k-2 items at the deepest level.
-    m = jnp.maximum(2 * k - 2, 0)
-    nleafs = []
-    for l in range(max_bits - 1, -1, -1):
-        cum = levels_cumleaf[l]
+    def down_step(m, cum):
         nleaf = cum[jnp.clip(m, 0, m2)]
-        nleafs.append(nleaf)                            # level l+1 (1-based)
-        npkg = m - nleaf
-        m = 2 * npkg
-    # nleafs[0] is for depth max_bits ... nleafs[-1] for depth 1
+        return 2 * (m - nleaf), nleaf
+
+    m0 = jnp.maximum(2 * k - 2, 0)
+    _, nleafs = jax.lax.scan(down_step, m0, levels_cumleaf, reverse=True)
+    # nleafs[l] = chosen-leaf count at depth l+1
+
     j = jnp.arange(n, dtype=jnp.int32)
-    length = jnp.zeros((n,), jnp.int32)
-    for nleaf in nleafs:
-        length = length + (j < nleaf).astype(jnp.int32)
+    length = jnp.sum((j[None, :] < nleafs[:, None]).astype(jnp.int32), axis=0)
     return jnp.where(j < k, length, 0)
 
 
