@@ -108,8 +108,22 @@ def _read_dynamic_tables(r: BitReader):
 
 
 def inflate_raw(data: bytes, bit_pos: int = 0,
-                max_output: int | None = None) -> tuple[bytes, int]:
-    """Inflate a raw DEFLATE stream. Returns (decompressed, end_bit_pos)."""
+                max_output: int | None = None,
+                prefer_native: bool = True) -> tuple[bytes, int]:
+    """Inflate a raw DEFLATE stream. Returns (decompressed, end_bit_pos).
+
+    Dispatches to the C++ native runtime when available (native_bridge);
+    the Python path below is the independent reference implementation."""
+    if prefer_native and max_output is None:
+        from .. import native_bridge
+        if native_bridge.available():
+            return native_bridge.inflate_raw_native(bytes(data), bit_pos)
+    return _inflate_raw_py(data, bit_pos, max_output)
+
+
+def _inflate_raw_py(data: bytes, bit_pos: int = 0,
+                    max_output: int | None = None) -> tuple[bytes, int]:
+    """Pure-Python inflater (oracle path)."""
     r = BitReader(data, bit_pos)
     out = bytearray()
     length_base = C.LENGTH_BASE
@@ -176,6 +190,9 @@ def zlib_decompress(data: bytes, verify_adler: bool = True) -> bytes:
     """
     if len(data) < 6:
         raise DeflateError("E_HDR", "zlib stream too short")
+    from .. import native_bridge
+    if native_bridge.available():
+        return native_bridge.zlib_decompress_native(bytes(data), verify_adler)
     cmf, flg = data[0], data[1]
     if (cmf & 0x0F) != C.ZLIB_CM_DEFLATE:
         raise DeflateError("E_HDR", f"unsupported CM {cmf & 0xF}")

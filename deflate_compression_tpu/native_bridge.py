@@ -1,0 +1,142 @@
+"""ctypes bridge to the C++ native host runtime (native/deflate_native.cpp).
+
+Builds the shared library on first use (g++ via native/Makefile) and falls
+back to the pure-Python paths when a toolchain is unavailable, so the
+framework works everywhere and is fast where it can be.
+"""
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+
+log = logging.getLogger("deflate_compression_tpu.native")
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libdeflate_native.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+_ERRNAMES = {
+    -1: "E_TRUNC", -2: "E_BTYPE", -3: "E_STORED", -4: "E_TREE",
+    -5: "E_BADCODE", -6: "E_SYM", -7: "E_DIST", -8: "E_SIZE",
+    -9: "E_HDR", -10: "E_ADLER",
+}
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR],
+                       check=True, capture_output=True, timeout=120)
+        return os.path.exists(_SO_PATH)
+    except Exception as e:  # pragma: no cover
+        log.info("native build unavailable: %s", e)
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO_PATH) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+            lib.dct_inflate.restype = ctypes.c_int64
+            lib.dct_inflate.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64)]
+            lib.dct_zlib_decompress.restype = ctypes.c_int64
+            lib.dct_zlib_decompress.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int]
+            lib.dct_crc32.restype = ctypes.c_uint32
+            lib.dct_crc32.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                      ctypes.c_uint32]
+            lib.dct_adler32.restype = ctypes.c_uint32
+            lib.dct_adler32.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                        ctypes.c_uint32]
+            if lib.dct_abi_version() != 1:  # pragma: no cover
+                return None
+            _lib = lib
+        except OSError as e:  # pragma: no cover
+            log.info("native load failed: %s", e)
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _grow_call(fn, data: bytes, *args, initial_cap: int | None = None):
+    from .utils.errors import DeflateError
+    cap = initial_cap or max(4 * len(data), 1 << 16)
+    while True:
+        out = ctypes.create_string_buffer(cap)
+        r = fn(data, len(data), *args, out, cap)
+        if r >= 0:
+            return out.raw[:r], r
+        if r == -8:  # E_SIZE: grow and retry
+            cap *= 4
+            if cap > (1 << 33):
+                raise DeflateError("E_SIZE", "output exceeds 8 GiB cap")
+            continue
+        raise DeflateError(_ERRNAMES.get(int(r), "E_HDR"),
+                           f"native inflate error {int(r)}")
+
+
+def inflate_raw_native(data: bytes, bit_pos: int = 0):
+    """Native inflate_raw; returns (bytes, end_bit_pos) like the Python one."""
+    lib = get_lib()
+    from .utils.errors import DeflateError
+    cap = max(4 * len(data), 1 << 16)
+    end = ctypes.c_int64(0)
+    while True:
+        out = ctypes.create_string_buffer(cap)
+        r = lib.dct_inflate(data, len(data), bit_pos, out, cap,
+                            ctypes.byref(end))
+        if r >= 0:
+            return out.raw[:r], int(end.value)
+        if r == -8:
+            cap *= 4
+            if cap > (1 << 33):
+                raise DeflateError("E_SIZE", "output exceeds 8 GiB cap")
+            continue
+        raise DeflateError(_ERRNAMES.get(int(r), "E_HDR"),
+                           f"native inflate error {int(r)}")
+
+
+def zlib_decompress_native(data: bytes, verify: bool = True) -> bytes:
+    lib = get_lib()
+    from .utils.errors import DeflateError
+    cap = max(4 * len(data), 1 << 16)
+    while True:
+        out = ctypes.create_string_buffer(cap)
+        r = lib.dct_zlib_decompress(data, len(data), out, cap,
+                                    1 if verify else 0)
+        if r >= 0:
+            return out.raw[:r]
+        if r == -8:
+            cap *= 4
+            if cap > (1 << 33):
+                raise DeflateError("E_SIZE", "output exceeds 8 GiB cap")
+            continue
+        raise DeflateError(_ERRNAMES.get(int(r), "E_HDR"),
+                           f"native zlib error {int(r)}")
+
+
+def crc32_native(data: bytes, crc: int = 0) -> int:
+    return int(get_lib().dct_crc32(data, len(data), crc & 0xFFFFFFFF))
+
+
+def adler32_native(data: bytes, adler: int = 1) -> int:
+    return int(get_lib().dct_adler32(data, len(data), adler & 0xFFFFFFFF))

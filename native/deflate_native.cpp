@@ -1,0 +1,352 @@
+// Native host runtime: fast DEFLATE/zlib inflater + checksums.
+//
+// This is the C++ counterpart of the framework's host decode path — the
+// performance mirror of decode/inflate.py (and of the C reference's
+// src/deflate_decompress.c): zlib header parse (ref :347-368), block loop
+// (ref :291-345), stored/fixed/dynamic paths (ref :303-336), canonical
+// code construction (ref form_h_tree :146-161), RLE 16/17/18 with the
+// litlen->dist carry-over (ref form_d2 :180-235), LZ back-copy (ref
+// decompr_write_str :47-57) and adler32 verify (ref :402-404). Decoding
+// uses flat 2^15 LUTs instead of the reference's pointer-tree walk
+// (src/h_tree.c:24-40) and a 64-bit bit buffer instead of the
+// byte-at-a-time cursor (src/include/globals.h:52-64).
+//
+// Exposed as a C ABI for the ctypes bridge (python: native_bridge.py).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+// ---------------------------------------------------------------- errors
+enum Err : int64_t {
+  E_OK = 0,
+  E_TRUNC = -1,
+  E_BTYPE = -2,
+  E_STORED = -3,
+  E_TREE = -4,
+  E_BADCODE = -5,
+  E_SYM = -6,
+  E_DIST = -7,
+  E_SIZE = -8,        // output capacity exhausted (caller: grow + retry)
+  E_HDR = -9,
+  E_ADLER = -10,
+};
+
+// ------------------------------------------------------------- bit input
+struct BitIn {
+  const uint8_t* data;
+  int64_t nbytes;
+  int64_t pos;        // bit position
+
+  inline uint64_t peek64() const {
+    int64_t byte0 = pos >> 3;
+    uint64_t v = 0;
+    int64_t avail = nbytes - byte0;
+    if (avail >= 8) {
+      std::memcpy(&v, data + byte0, 8);
+    } else if (avail > 0) {
+      std::memcpy(&v, data + byte0, (size_t)avail);
+    }
+    return v >> (pos & 7);
+  }
+  inline uint32_t read(int n) {
+    uint32_t v = (uint32_t)(peek64() & ((1u << n) - 1));
+    pos += n;
+    return v;
+  }
+  inline bool ok() const { return pos <= nbytes * 8; }
+  inline void align() { pos = (pos + 7) & ~7LL; }
+};
+
+// --------------------------------------------------- canonical flat LUTs
+constexpr int LUT_BITS = 15;
+constexpr int LUT_SIZE = 1 << LUT_BITS;
+
+struct Lut {
+  int16_t sym[LUT_SIZE];
+  int8_t len[LUT_SIZE];
+};
+
+// Build the flat LUT from code lengths (RFC 1951 §3.2.2 counting).
+// Returns E_OK or E_TREE on over-subscription.
+static int64_t build_lut(const uint8_t* lens, int n, Lut* t) {
+  int bl_count[16] = {0};
+  for (int i = 0; i < n; i++) bl_count[lens[i]]++;
+  bl_count[0] = 0;
+  long kraft = 0;
+  for (int l = 1; l <= 15; l++) kraft += (long)bl_count[l] << (15 - l);
+  if (kraft > LUT_SIZE) return E_TREE;
+  int next_code[16] = {0};
+  int code = 0;
+  for (int l = 1; l <= 15; l++) {
+    code = (code + bl_count[l - 1]) << 1;
+    next_code[l] = code;
+  }
+  std::memset(t->len, 0, sizeof(t->len));
+  for (int s = 0; s < n; s++) {
+    int l = lens[s];
+    if (l == 0) continue;
+    int c = next_code[l]++;
+    // bit-reverse c within l bits (codes arrive MSB-first)
+    int r = 0, cc = c;
+    for (int b = 0; b < l; b++) { r = (r << 1) | (cc & 1); cc >>= 1; }
+    for (int idx = r; idx < LUT_SIZE; idx += 1 << l) {
+      t->sym[idx] = (int16_t)s;
+      t->len[idx] = (int8_t)l;
+    }
+  }
+  return E_OK;
+}
+
+static const uint8_t CLEN_ORDER[19] = {16, 17, 18, 0, 8, 7, 9, 6, 10, 5,
+                                       11, 4, 12, 3, 13, 2, 14, 1, 15};
+
+static const uint16_t LEN_BASE[29] = {
+    3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23, 27, 31,
+    35, 43, 51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258};
+static const uint8_t LEN_EXTRA[29] = {0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1,
+                                      2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 4,
+                                      5, 5, 5, 5, 0};
+static const uint16_t DIST_BASE[30] = {
+    1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97, 129, 193,
+    257, 385, 513, 769, 1025, 1537, 2049, 3073, 4097, 6145, 8193,
+    12289, 16385, 24577};
+static const uint8_t DIST_EXTRA[30] = {0, 0, 0, 0, 1, 1, 2, 2, 3, 3,
+                                       4, 4, 5, 5, 6, 6, 7, 7, 8, 8,
+                                       9, 9, 10, 10, 11, 11, 12, 12, 13, 13};
+
+static Lut g_fixed_ll, g_fixed_d;
+static bool g_fixed_ready = false;
+
+static void init_fixed() {
+  if (g_fixed_ready) return;
+  uint8_t lens[288];
+  for (int i = 0; i < 144; i++) lens[i] = 8;
+  for (int i = 144; i < 256; i++) lens[i] = 9;
+  for (int i = 256; i < 280; i++) lens[i] = 7;
+  for (int i = 280; i < 288; i++) lens[i] = 8;
+  build_lut(lens, 288, &g_fixed_ll);
+  uint8_t dl[32];
+  for (int i = 0; i < 32; i++) dl[i] = 5;
+  build_lut(dl, 32, &g_fixed_d);
+  g_fixed_ready = true;
+}
+
+// Parse the dynamic-block header into luts (ref form_d1/form_d2 :164-235).
+static int64_t read_dynamic(BitIn& in, Lut* ll, Lut* dd) {
+  int hlit = (int)in.read(5) + 257;
+  int hdist = (int)in.read(5) + 1;
+  int hclen = (int)in.read(4) + 4;
+  if (hlit > 286 || hdist > 30) return E_HDR;
+  uint8_t clen_lens[19] = {0};
+  for (int j = 0; j < hclen; j++) clen_lens[CLEN_ORDER[j]] = (uint8_t)in.read(3);
+  if (!in.ok()) return E_TRUNC;
+  Lut cl;
+  int64_t e = build_lut(clen_lens, 19, &cl);
+  if (e) return e;
+
+  int total = hlit + hdist;
+  uint8_t lens[286 + 30] = {0};
+  int i = 0, prev = -1;
+  while (i < total) {
+    uint32_t idx = (uint32_t)(in.peek64() & (LUT_SIZE - 1));
+    int l = cl.len[idx];
+    if (l == 0) return E_BADCODE;
+    in.pos += l;
+    int s = cl.sym[idx];
+    if (s < 16) {
+      lens[i++] = (uint8_t)s;
+      prev = s;
+    } else if (s == 16) {
+      if (prev < 0) return E_TREE;
+      int rep = 3 + (int)in.read(2);
+      if (i + rep > total) return E_TREE;
+      for (int k = 0; k < rep; k++) lens[i++] = (uint8_t)prev;
+    } else if (s == 17) {
+      int rep = 3 + (int)in.read(3);
+      if (i + rep > total) return E_TREE;
+      i += rep;
+      prev = 0;
+    } else {
+      int rep = 11 + (int)in.read(7);
+      if (i + rep > total) return E_TREE;
+      i += rep;
+      prev = 0;
+    }
+    if (!in.ok()) return E_TRUNC;
+  }
+  if (lens[256] == 0) return E_TREE;            // need EOB
+  uint8_t llens[286] = {0}, dlens[30] = {0};
+  std::memcpy(llens, lens, (size_t)hlit);
+  std::memcpy(dlens, lens + hlit, (size_t)hdist);
+  e = build_lut(llens, 286, ll);
+  if (e) return e;
+  e = build_lut(dlens, 30, dd);
+  return e;
+}
+
+}  // namespace
+
+extern "C" {
+
+// CRC-32 (reflected 0xEDB88320), slice-by-8.
+uint32_t dct_crc32(const uint8_t* p, int64_t n, uint32_t crc) {
+  static uint32_t table[8][256];
+  static bool ready = false;
+  if (!ready) {
+    for (uint32_t i = 0; i < 256; i++) {
+      uint32_t c = i;
+      for (int k = 0; k < 8; k++) c = (c >> 1) ^ (0xEDB88320u & (~(c & 1) + 1));
+      table[0][i] = c;
+    }
+    for (int s = 1; s < 8; s++)
+      for (uint32_t i = 0; i < 256; i++)
+        table[s][i] = table[s - 1][i] >> 8 ^ table[0][table[s - 1][i] & 0xFF];
+    ready = true;
+  }
+  uint32_t c = ~crc;
+  while (n >= 8) {
+    uint32_t lo, hi;
+    std::memcpy(&lo, p, 4);
+    std::memcpy(&hi, p + 4, 4);
+    c ^= lo;
+    c = table[7][c & 0xFF] ^ table[6][(c >> 8) & 0xFF] ^
+        table[5][(c >> 16) & 0xFF] ^ table[4][c >> 24] ^
+        table[3][hi & 0xFF] ^ table[2][(hi >> 8) & 0xFF] ^
+        table[1][(hi >> 16) & 0xFF] ^ table[0][hi >> 24];
+    p += 8;
+    n -= 8;
+  }
+  while (n-- > 0) c = table[0][(c ^ *p++) & 0xFF] ^ (c >> 8);
+  return ~c;
+}
+
+// Adler-32 with deferred modulo (NMAX batching).
+uint32_t dct_adler32(const uint8_t* p, int64_t n, uint32_t adler) {
+  uint32_t a = adler & 0xFFFF, b = (adler >> 16) & 0xFFFF;
+  const int64_t NMAX = 5552;
+  while (n > 0) {
+    int64_t m = n < NMAX ? n : NMAX;
+    n -= m;
+    for (int64_t i = 0; i < m; i++) {
+      a += *p++;
+      b += a;
+    }
+    a %= 65521;
+    b %= 65521;
+  }
+  return (b << 16) | a;
+}
+
+// Inflate a raw DEFLATE stream starting at bit `bit_pos`.
+// On success: returns output length, *end_bit_pos = next bit after BFINAL
+// block. Errors return Err (< 0). E_SIZE => retry with larger out_cap.
+int64_t dct_inflate(const uint8_t* inp, int64_t in_len, int64_t bit_pos,
+                    uint8_t* out, int64_t out_cap, int64_t* end_bit_pos) {
+  init_fixed();
+  BitIn in{inp, in_len, bit_pos};
+  int64_t opos = 0;
+  Lut* dyn_ll = nullptr;
+  // allocate dynamic tables on stack once (large: 2*96KB ok for threads)
+  static thread_local Lut tl_ll, tl_d;
+
+  for (;;) {
+    uint32_t bfinal = in.read(1);
+    uint32_t btype = in.read(2);
+    if (!in.ok()) return E_TRUNC;
+    if (btype == 3) return E_BTYPE;
+    if (btype == 0) {
+      in.align();
+      uint32_t len = in.read(16);
+      uint32_t nlen = in.read(16);
+      if (!in.ok()) return E_TRUNC;
+      if (len != (~nlen & 0xFFFF)) return E_STORED;
+      int64_t byte0 = in.pos >> 3;
+      if (byte0 + len > in_len) return E_TRUNC;
+      if (opos + len > out_cap) return E_SIZE;
+      std::memcpy(out + opos, inp + byte0, len);
+      opos += len;
+      in.pos += (int64_t)len * 8;
+    } else {
+      Lut *ll, *dd;
+      if (btype == 1) {
+        ll = &g_fixed_ll;
+        dd = &g_fixed_d;
+      } else {
+        int64_t e = read_dynamic(in, &tl_ll, &tl_d);
+        if (e) return e;
+        ll = &tl_ll;
+        dd = &tl_d;
+      }
+      (void)dyn_ll;
+      for (;;) {
+        uint32_t idx = (uint32_t)(in.peek64() & (LUT_SIZE - 1));
+        int l = ll->len[idx];
+        if (l == 0) return E_BADCODE;
+        in.pos += l;
+        if (!in.ok()) return E_TRUNC;
+        int s = ll->sym[idx];
+        if (s < 256) {
+          if (opos >= out_cap) return E_SIZE;
+          out[opos++] = (uint8_t)s;
+        } else if (s == 256) {
+          break;
+        } else {
+          if (s > 285) return E_SYM;
+          int li = s - 257;
+          int64_t length = LEN_BASE[li] + in.read(LEN_EXTRA[li]);
+          uint32_t didx = (uint32_t)(in.peek64() & (LUT_SIZE - 1));
+          int dl = dd->len[didx];
+          if (dl == 0) return E_BADCODE;
+          in.pos += dl;
+          int ds = dd->sym[didx];
+          if (ds > 29) return E_SYM;
+          int64_t dist = DIST_BASE[ds] + in.read(DIST_EXTRA[ds]);
+          if (!in.ok()) return E_TRUNC;
+          if (dist > opos) return E_DIST;
+          if (opos + length > out_cap) return E_SIZE;
+          const uint8_t* src = out + opos - dist;
+          uint8_t* dst = out + opos;
+          if (dist >= 8) {
+            // non-overlapping-enough: chunked copy
+            int64_t k = 0;
+            for (; k + 8 <= length; k += 8) std::memcpy(dst + k, src + k, 8);
+            for (; k < length; k++) dst[k] = src[k];
+          } else {
+            for (int64_t k = 0; k < length; k++) dst[k] = src[k];
+          }
+          opos += length;
+        }
+      }
+    }
+    if (bfinal) break;
+  }
+  if (end_bit_pos) *end_bit_pos = in.pos;
+  return opos;
+}
+
+// zlib container (ref :347-409). verify!=0 checks adler32.
+int64_t dct_zlib_decompress(const uint8_t* inp, int64_t n, uint8_t* out,
+                            int64_t out_cap, int verify) {
+  if (n < 6) return E_HDR;
+  uint8_t cmf = inp[0], flg = inp[1];
+  if ((cmf & 0x0F) != 8) return E_HDR;
+  if ((((uint32_t)cmf << 8) | flg) % 31 != 0) return E_HDR;
+  if (flg & 0x20) return E_HDR;  // FDICT
+  int64_t end_bits = 0;
+  int64_t len = dct_inflate(inp, n, 16, out, out_cap, &end_bits);
+  if (len < 0) return len;
+  if (verify) {
+    int64_t off = (end_bits + 7) / 8;
+    if (off + 4 > n) return E_ADLER;
+    uint32_t want = ((uint32_t)inp[off] << 24) | ((uint32_t)inp[off + 1] << 16)
+                    | ((uint32_t)inp[off + 2] << 8) | inp[off + 3];
+    if (dct_adler32(out, len, 1) != want) return E_ADLER;
+  }
+  return len;
+}
+
+int dct_abi_version() { return 1; }
+
+}  // extern "C"
