@@ -1,0 +1,118 @@
+"""Cost model: adaptive DEFLATE block splitting from tile histograms.
+
+This is the TPU-native replacement for the reference's AHT-driven chunk-split
+heuristic (README.md:15-20; the per-symbol cost probe at
+src/deflate_compress.c:290-308 rebuilds a full Huffman tree after EVERY
+emitted symbol — O(n log n) per symbol). Here the same information — "optimal
+bits if we cut a block here" — comes from 32 KB tile histograms:
+
+  * per-tile litlen/dist histograms are exact sufficient statistics;
+  * the cost of coding tiles [i, j) as ONE dynamic block is estimated in
+    closed form as Σ f·log2(n/f) (the entropy lower bound the AHT's
+    Σ weight·depth score tracks; see core/aht.py) + extra bits (exact) +
+    a tree-description estimate;
+  * a small dynamic program over tile boundaries picks the optimal
+    segmentation (bounded merge run), instead of the reference's greedy
+    online split.
+
+All fixed-shape and jittable; vmaps over shards.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..format import constants as C
+
+# estimated bits to describe one dynamic Huffman tree pair: 17 header bits +
+# ~HCLEN*3 + roughly 5.5 bits/active symbol of RLE-coded lengths
+_TREE_FIXED = 17.0 + 3 * 15
+_TREE_PER_SYM = 5.5
+
+
+def block_plan(ll_freq_micro: jnp.ndarray, d_freq_micro: jnp.ndarray,
+               n_micro_valid: jnp.ndarray, max_merge: int = 8):
+    """Choose dynamic-block boundaries over 32 KB micro-tiles.
+
+    Args:
+      ll_freq_micro: i32[M, 286] litlen histograms per tile (no EOB).
+      d_freq_micro: i32[M, 30] distance-code histograms per tile.
+      n_micro_valid: i32 scalar — number of tiles covering real bytes.
+      max_merge: static bound on tiles per block.
+
+    Returns (split: bool[M], n_blocks: i32) — split[m] marks the first tile
+    of each block; split[0] is always True.
+    """
+    M = ll_freq_micro.shape[0]
+    len_extra = jnp.asarray(C.LENGTH_EXTRA, jnp.float32)
+    dist_extra = jnp.asarray(C.DIST_EXTRA, jnp.float32)
+
+    llf = ll_freq_micro.astype(jnp.float32)
+    df = d_freq_micro.astype(jnp.float32)
+    cum_ll = jnp.concatenate([jnp.zeros((1, llf.shape[1]), jnp.float32),
+                              jnp.cumsum(llf, axis=0)], axis=0)
+    cum_d = jnp.concatenate([jnp.zeros((1, df.shape[1]), jnp.float32),
+                             jnp.cumsum(df, axis=0)], axis=0)
+
+    def seg_cost(i, j):
+        """Estimated bits for tiles [i, j) as one dynamic block (i<j)."""
+        fll = cum_ll[j] - cum_ll[i]
+        fd = cum_d[j] - cum_d[i]
+        nll = jnp.sum(fll) + 1.0                       # + EOB
+        nd = jnp.maximum(jnp.sum(fd), 1.0)
+        h_ll = jnp.sum(jnp.where(fll > 0,
+                                 fll * (jnp.log2(nll) - jnp.log2(
+                                     jnp.maximum(fll, 1e-9))), 0.0))
+        h_d = jnp.sum(jnp.where(fd > 0,
+                                fd * (jnp.log2(nd) - jnp.log2(
+                                    jnp.maximum(fd, 1e-9))), 0.0))
+        extra = (jnp.sum(fll[257:286] * len_extra)
+                 + jnp.sum(fd * dist_extra))
+        active = (jnp.sum((fll > 0).astype(jnp.float32))
+                  + jnp.sum((fd > 0).astype(jnp.float32)))
+        return (h_ll + h_d + extra + _TREE_FIXED + _TREE_PER_SYM * active
+                + jnp.log2(nll))                        # + EOB code ~log2
+
+    # DP: opt[j] = min_{1<=k<=max_merge} opt[j-k] + cost(j-k, j)
+    BIG = jnp.float32(3.4e38)
+
+    def step(opt_tail, j):
+        # opt_tail: f32[max_merge] = opt[j-1], opt[j-2], ..., opt[j-max_merge]
+        ks = jnp.arange(1, max_merge + 1)
+        i_s = j - ks
+        costs = jax.vmap(lambda i: seg_cost(jnp.maximum(i, 0), j))(i_s)
+        # single tiles may fall back to a stored block (merged blocks cannot:
+        # LEN is 16-bit); give the DP that option so incompressible tiles
+        # stay single
+        stored = jnp.float32(42 + 8 * C.WINDOW_SIZE)
+        costs = costs.at[0].set(jnp.minimum(costs[0], stored))
+        cand = jnp.where(i_s >= 0, opt_tail + costs, BIG)
+        best_k = jnp.argmin(cand)
+        opt_j = cand[best_k]
+        new_tail = jnp.concatenate([opt_j[None], opt_tail[:-1]])
+        return new_tail, (opt_j, (best_k + 1).astype(jnp.int32))
+
+    init_tail = jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                                 jnp.full((max_merge - 1,), BIG)])
+    _, (_, back_k) = jax.lax.scan(step, init_tail,
+                                  jnp.arange(1, M + 1, dtype=jnp.int32))
+    # back_k[j-1] = merge width chosen ending at tile j
+
+    # Backtrack from n_micro_valid down to 0, marking block starts.
+    def bt(j, split):
+        k = back_k[jnp.maximum(j - 1, 0)]
+        start = jnp.maximum(j - k, 0)
+        split = split.at[start].set(jnp.where(j > 0, True, split[start]))
+        return jnp.where(j > 0, start, 0), split
+
+    def bt_step(carry, _):
+        j, split = carry
+        j2, split = bt(j, split)
+        return (j2, split), None
+
+    split0 = jnp.zeros((M,), jnp.bool_).at[0].set(True)
+    (jf, split), _ = jax.lax.scan(bt_step, (n_micro_valid, split0), None,
+                                  length=M)
+    n_blocks = jnp.sum(split & (jnp.arange(M) < n_micro_valid))
+    return split, n_blocks.astype(jnp.int32)

@@ -48,6 +48,14 @@ _FIXED_D_LEN = C.FIXED_DIST_LENGTHS[:C.NUM_DIST]
 _FIXED_D_CODE = None
 
 
+def out_words(shard_size: int) -> int:
+    """Worst-case output capacity (u32 words) for a shard of `shard_size`:
+    merged incompressible blocks can't use stored but fixed caps literals at
+    9 bits/byte; 42 covers per-block headers + padding."""
+    nb = shard_size // BLOCK
+    return (nb * (42 + 9 * BLOCK) + 96) // 32
+
+
 def _init_fixed_tables():
     global _FIXED_LL_CODE, _FIXED_D_CODE
     from ..core.huffman import canonical_codes_np
@@ -141,7 +149,8 @@ def _tree_rle(comb: jnp.ndarray, total: jnp.ndarray):
 
 def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
                  final: jnp.ndarray, num_candidates: int = 4,
-                 lazy: bool = True):
+                 lazy: bool = True, adaptive_blocks: bool = True,
+                 max_merge: int = 8):
     """Encode one shard into a DEFLATE bitstream (jit-friendly, fixed shape).
 
     Args:
@@ -149,34 +158,32 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
       valid_len: i32 scalar in [1, S].
       final: bool scalar — if True the last block gets BFINAL and no sync
         flush; if False a byte-aligning empty stored block is appended.
+      adaptive_blocks: choose coding-block boundaries with the tile-histogram
+        cost model (core/cost.py — the AHT chunk-split capability,
+        reference README.md:15-20) instead of fixed 32 KB blocks.
+      max_merge: max 32 KB tiles merged into one coding block.
 
     Returns dict: words u32[OW], total_bits i32, plus per-block stats.
     """
     S = data.shape[0]
     assert S % BLOCK == 0 and S >= BLOCK
-    NB = S // BLOCK
+    NB = S // BLOCK                  # tiles == max number of coding blocks
     T = S + NB                       # token slot capacity (tokens + EOBs)
-    OUT_WORDS = (NB * (42 + 8 * BLOCK) + 96) // 32
+    OUT_WORDS = out_words(S)
 
     data = data.astype(jnp.uint8)
     valid_len = valid_len.astype(jnp.int32)
     pos = jnp.arange(S, dtype=jnp.int32)
-    blk_of_pos = pos // BLOCK
-    LB = jnp.maximum((valid_len - 1) // BLOCK, 0)    # last emitted block
+    micro_of_pos = pos // BLOCK
     b_idx = jnp.arange(NB, dtype=jnp.int32)
-    b_emitted = b_idx <= LB
+    LB_micro = jnp.maximum((valid_len - 1) // BLOCK, 0)
 
     # ------------------------------------------------------------------ LZ77
     tok = lz77.tokenize(data, valid_len, num_candidates=num_candidates,
                         lazy=lazy)
     chosen, length, dist = tok["chosen"], tok["length"], tok["dist"]
 
-    cs_excl = jnp.cumsum(chosen.astype(jnp.int32)) - chosen.astype(jnp.int32)
-    slot = cs_excl + blk_of_pos
-    cs_incl = cs_excl + chosen.astype(jnp.int32)
-    eob_slot = cs_incl[(b_idx + 1) * BLOCK - 1] + b_idx
-
-    # Token field arrays (capacity T).
+    # Token fields at position granularity.
     is_match = chosen & (length >= C.MIN_MATCH)
     len_to_code = jnp.asarray(C.LEN_TO_CODE)
     len_to_ev = jnp.asarray(C.LEN_TO_EXTRA_VAL)
@@ -197,6 +204,47 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     d_sym_pos = jnp.where(is_match, dcode, 0)
     d_ev_pos = jnp.where(is_match, dist - dist_base[dcode], 0)
     d_eb_pos = jnp.where(is_match, dist_extra[dcode], 0)
+
+    # -------------------------------------------------------- block planning
+    if adaptive_blocks and NB > 1:
+        from ..core.cost import block_plan
+        mk_ll = jnp.where(chosen, micro_of_pos * C.NUM_LITLEN + ll_sym_pos,
+                          NB * C.NUM_LITLEN)
+        ll_freq_micro = huffman.histogram(
+            mk_ll, NB * C.NUM_LITLEN).reshape(NB, C.NUM_LITLEN)
+        mk_d = jnp.where(is_match, micro_of_pos * C.NUM_DIST + d_sym_pos,
+                         NB * C.NUM_DIST)
+        d_freq_micro = huffman.histogram(
+            mk_d, NB * C.NUM_DIST).reshape(NB, C.NUM_DIST)
+        split, _ = block_plan(ll_freq_micro, d_freq_micro, LB_micro + 1,
+                              max_merge=max_merge)
+        split = split.at[0].set(True)
+    else:
+        split = jnp.ones((NB,), jnp.bool_)
+
+    blk_id_micro = jnp.cumsum(split.astype(jnp.int32)) - 1     # i32[NB]
+    blk_of_pos = blk_id_micro[micro_of_pos]
+    LB = blk_id_micro[LB_micro]                  # last emitted coding block
+    b_emitted = b_idx <= LB
+
+    # start/end tile of each coding block (NB buckets, tail unused)
+    m_idx = jnp.arange(NB, dtype=jnp.int32)
+    start_micro = jnp.full((NB,), NB, jnp.int32).at[
+        jnp.where(split, blk_id_micro, NB)].min(m_idx, mode="drop")
+    end_micro = jnp.concatenate([start_micro[1:], jnp.array([NB], jnp.int32)])
+    end_micro = jnp.minimum(end_micro, NB)
+    # unused buckets (b > LB) have start == NB: clamp for safe indexing,
+    # their items are masked by b_emitted everywhere
+    start_micro_c = jnp.minimum(start_micro, NB - 1)
+    end_micro = jnp.maximum(end_micro, start_micro_c + 1)
+    n_micros_b = end_micro - start_micro_c
+    start_pos_b = start_micro_c * BLOCK
+    end_pos_b = jnp.minimum(end_micro * BLOCK, S)
+
+    cs_excl = jnp.cumsum(chosen.astype(jnp.int32)) - chosen.astype(jnp.int32)
+    slot = cs_excl + blk_of_pos
+    cs_incl = cs_excl + chosen.astype(jnp.int32)
+    eob_slot = cs_incl[end_pos_b - 1] + b_idx
 
     def scat(src, fill):
         arr = jnp.full((T,), fill, jnp.int32)
@@ -292,8 +340,11 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     fix_cost = (3 + jnp.sum(ll_freq * fll[None, :], axis=1) + ll_extra_tot
                 + jnp.sum(d_freq * fdl[None, :], axis=1) + d_extra_tot)
 
-    blen = jnp.clip(valid_len - b_idx * BLOCK, 0, BLOCK)
+    blen = jnp.clip(jnp.minimum(end_pos_b, valid_len) - start_pos_b,
+                    0, max_merge * BLOCK)
     sto_cost = 3 + 7 + 32 + 8 * blen
+    # stored blocks are emitted single-tile only (LEN field is 16-bit)
+    sto_cost = jnp.where(n_micros_b == 1, sto_cost, jnp.int32(1 << 30))
 
     costs = jnp.stack([sto_cost, fix_cost, dyn_cost], axis=1)
     btype = jnp.argmin(costs, axis=1).astype(jnp.int32)  # 0/1/2 == RFC BTYPE
@@ -332,7 +383,7 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
 
     # Per-block token bit totals and per-block first-token-slot.
     T_b = huffman.histogram(tok_item_blk, NB, weights=tok_nbs)
-    tok_start = cs_excl[b_idx * BLOCK] + b_idx          # first slot of block b
+    tok_start = cs_excl[start_pos_b] + b_idx            # first slot of block b
     ctok = jnp.cumsum(tok_nbs) - tok_nbs                # exclusive, (2T,)
     ctok_block0 = ctok[2 * tok_start]
 
@@ -376,7 +427,11 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     hdr_vals = hdr_vals.at[:, 654].set(lennlen)
     hdr_nbs = hdr_nbs.at[:, 654].set(jnp.where(b_emitted & is_sto, 32, 0))
 
-    quads = data.reshape(NB, _PAYLOAD_ITEMS, 4).astype(jnp.uint32)
+    # payload bytes gathered from each block's (possibly merged) start
+    pay_idx = (start_pos_b[:, None, None]
+               + 4 * jnp.arange(_PAYLOAD_ITEMS, dtype=jnp.int32)[None, :, None]
+               + jnp.arange(4, dtype=jnp.int32)[None, None, :])
+    quads = jnp.take(data, jnp.clip(pay_idx, 0, S - 1), axis=0).astype(jnp.uint32)
     pay_val = (quads[..., 0] | (quads[..., 1] << 8)
                | (quads[..., 2] << 16) | (quads[..., 3] << 24))
     p4 = jnp.arange(_PAYLOAD_ITEMS, dtype=jnp.int32)[None, :] * 4
@@ -435,10 +490,13 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     return {"words": words, "total_bits": total_bits, **stats}
 
 
-@functools.partial(jax.jit, static_argnames=("num_candidates", "lazy"))
+@functools.partial(jax.jit, static_argnames=("num_candidates", "lazy",
+                                             "adaptive_blocks", "max_merge"))
 def encode_shard_jit(data, valid_len, final, num_candidates: int = 4,
-                     lazy: bool = True):
-    return encode_shard(data, valid_len, final, num_candidates, lazy)
+                     lazy: bool = True, adaptive_blocks: bool = True,
+                     max_merge: int = 8):
+    return encode_shard(data, valid_len, final, num_candidates, lazy,
+                        adaptive_blocks, max_merge)
 
 
 def deflate_compress_bytes(raw: bytes, shard_size: int = 1 << 20,

@@ -32,7 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core import bits as bits_mod
 from ..core import checksum
 from ..format import containers
-from ..format.deflate import BLOCK, encode_shard
+from ..format.deflate import BLOCK, encode_shard, out_words
 
 AXIS = "shards"
 
@@ -67,8 +67,7 @@ def encode_sharded(data: jnp.ndarray, valid_lens: jnp.ndarray,
       adler: u32[D] per-shard adler32 (combine host-side)
     """
     D, S = data.shape
-    NBASE = S // BLOCK
-    cap_words = (NBASE * (42 + 8 * BLOCK) + 96) // 32  # == encoder OUT_WORDS
+    cap_words = out_words(S)       # == encoder OUT_WORDS
 
     def per_shard(d, vl, fin):
         d = d[0]
