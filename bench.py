@@ -40,7 +40,7 @@ def main():
 
     corpus = build_corpus(32)
     n = len(corpus)
-    shard_size = 1 << 20
+    shard_size = 1 << 18     # 256 KB: fast compile, high steady-state rate
     nsh = n // shard_size
     shards = np.frombuffer(corpus, np.uint8).reshape(nsh, shard_size)
 

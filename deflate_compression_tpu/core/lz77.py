@@ -147,9 +147,11 @@ def greedy_parse(token_len: jnp.ndarray) -> jnp.ndarray:
     return chosen[:S]
 
 
-@functools.partial(jax.jit, static_argnames=("num_candidates", "lazy"))
+@functools.partial(jax.jit, static_argnames=("num_candidates", "lazy",
+                                             "boundary"))
 def tokenize(data: jnp.ndarray, valid_len: jnp.ndarray,
-             num_candidates: int = 4, lazy: bool = True):
+             num_candidates: int = 4, lazy: bool = True,
+             boundary: int = C.WINDOW_SIZE):
     """Full LZ77 stage for one shard.
 
     Args:
@@ -168,8 +170,14 @@ def tokenize(data: jnp.ndarray, valid_len: jnp.ndarray,
     cands = find_candidates(data, num_candidates)
     length, dist = match_lengths(data, cands)
 
-    # Clamp matches to the valid region.
+    # Clamp matches to the valid region and to coding-block (tile)
+    # boundaries: a token must not EXTEND past a boundary so every block's
+    # output starts exactly at its tile (stored-block payload correctness +
+    # exact decode index); matches may still look BACK across boundaries
+    # (RFC window semantics).
     length = jnp.minimum(length, jnp.maximum(valid_len - pos, 0))
+    if boundary:
+        length = jnp.minimum(length, boundary - (pos % boundary))
     length = jnp.where(length >= C.MIN_MATCH, length, 0)
     dist = jnp.where(length > 0, dist, 0)
 

@@ -486,6 +486,11 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
         "tree_bits": jnp.where(b_emitted & is_dyn, tree_bits, 0),
         "n_tokens": n_tokens,
         "n_matches": n_matches,
+        # decode index (decode/tpu_inflate.py): per-block bit offset in the
+        # shard substream, output byte range, and block count
+        "block_bit_base": jnp.where(b_emitted, block_base, 0),
+        "block_out_start": jnp.where(b_emitted, start_pos_b, 0),
+        "n_blocks": LB + 1,
     }
     return {"words": words, "total_bits": total_bits, **stats}
 
