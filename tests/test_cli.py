@@ -1,0 +1,81 @@
+"""CLI + aux subsystem tests."""
+import zlib
+
+import numpy as np
+import pytest
+
+from deflate_compression_tpu.cli import main
+from deflate_compression_tpu.parallel.launcher import (host_shard_indices,
+                                                       init_distributed)
+from deflate_compression_tpu.utils.logging_util import (MetricsRecorder,
+                                                        setup_logging)
+
+SRC = "/root/reference/docs/rfc1950.txt"
+
+
+def test_compress_decompress_cycle(tmp_path):
+    out = tmp_path / "x.zz"
+    dec = tmp_path / "x.txt"
+    assert main(["compress", SRC, "-o", str(out), "--shard-size", "65536",
+                 "-v", "--stats", str(tmp_path / "s.csv")]) == 0
+    assert zlib.decompress(out.read_bytes()) == open(SRC, "rb").read()
+    assert main(["decompress", str(out), "-o", str(dec)]) == 0
+    assert dec.read_bytes() == open(SRC, "rb").read()
+    csv = (tmp_path / "s.csv").read_text()
+    assert csv.startswith("bytes,compressed_bits")
+
+
+def test_gzip_container_cli(tmp_path):
+    import gzip
+    out = tmp_path / "x.gz"
+    assert main(["compress", SRC, "-o", str(out), "--container", "gzip",
+                 "--shard-size", "65536"]) == 0
+    assert gzip.decompress(out.read_bytes()) == open(SRC, "rb").read()
+    dec = tmp_path / "y.txt"
+    assert main(["decompress", str(out), "-o", str(dec)]) == 0
+    assert dec.read_bytes() == open(SRC, "rb").read()
+
+
+def test_inspect_runs(tmp_path, capsys):
+    out = tmp_path / "x.zz"
+    main(["compress", SRC, "-o", str(out), "--shard-size", "65536"])
+    assert main(["inspect", str(out)]) == 0
+    cap = capsys.readouterr().out
+    assert "zlib container" in cap and "block 0" in cap
+
+
+def test_png_dump(tmp_path):
+    out = tmp_path / "px.txt"
+    assert main(["png", "/root/reference/png/img/pngtest.png",
+                 "--rgb-text", "-o", str(out)]) == 0
+    first = out.read_text().splitlines()[0]
+    assert first == "237 28 36"              # golden trace first pixel
+
+
+def test_trace_format(tmp_path):
+    out = tmp_path / "t.csv"
+    assert main(["trace", SRC, "-o", str(out)]) == 0
+    lines = out.read_text().strip().splitlines()
+    assert lines[0] == "bytes,compressed_bits"
+    assert int(lines[-1].split(",")[0]) == 20502
+
+
+def test_launcher_single_process():
+    info = init_distributed()
+    assert info["process_count"] == 1
+    assert info["global_devices"] >= 8       # virtual CPU mesh
+    assert list(host_shard_indices(5, 0, 1)) == [0, 1, 2, 3, 4]
+    assert list(host_shard_indices(10, 1, 4)) == [1, 5, 9]
+
+
+def test_metrics_recorder():
+    setup_logging("INFO")
+    m = MetricsRecorder()
+    m.record("block_bytes", 32768)
+    m.record("block_bits", 1000)
+    m.record("block_bytes", 32768)
+    m.record("block_bits", 900)
+    csv = m.cost_trace_csv()
+    assert csv.splitlines()[1] == "32768,1000"
+    assert csv.splitlines()[2] == "65536,1900"
+    assert m.summary()["block_bits"]["sum"] == 1900
