@@ -72,11 +72,12 @@ def find_candidates(data: jnp.ndarray, num_candidates: int) -> jnp.ndarray:
     return out
 
 
-def _gather_window(data: jnp.ndarray, starts: jnp.ndarray, width: int) -> jnp.ndarray:
-    """data[starts[i] + t] for t in [0, width); out-of-range reads clamp (the
-    caller masks validity separately). starts: i32[...]."""
+def _gather_window(data: jnp.ndarray, starts: jnp.ndarray, width: int,
+                   stride: int = 1) -> jnp.ndarray:
+    """data[starts[i] + stride*t] for t in [0, width); out-of-range reads
+    clamp (the caller masks validity separately). starts: i32[...]."""
     S = data.shape[0]
-    idx = starts[..., None] + jnp.arange(width, dtype=jnp.int32)
+    idx = starts[..., None] + stride * jnp.arange(width, dtype=jnp.int32)
     idx = jnp.clip(idx, 0, S - 1)
     return jnp.take(data, idx, axis=0)
 
@@ -93,13 +94,24 @@ def match_lengths(data: jnp.ndarray, cands: jnp.ndarray,
 
     valid = (cands >= 0) & ((pos[:, None] - cands) <= C.WINDOW_SIZE)
 
-    # Phase A: score candidates by leading-equal count over a short prefix.
-    win_i = _gather_window(data, pos, prefix)                    # [S, P]
-    win_j = _gather_window(data, jnp.maximum(cands, 0).reshape(-1),
-                           prefix).reshape(S, K, prefix)         # [S, K, P]
+    # Word view: w4[i] = data[i..i+3] as LSB-first u32 (tail zero-padded).
+    # Comparing 4 bytes per gathered element cuts gather volume and cumprod
+    # width 4x vs byte-at-a-time — the dominant HBM cost of this stage.
+    d32 = data.astype(jnp.uint32)
+    pad = jnp.zeros((3,), jnp.uint32)
+    b0 = jnp.concatenate([d32, pad])
+    w4 = (b0[:-3] | (b0[1:-2] << np.uint32(8)) | (b0[2:-1] << np.uint32(16))
+          | (b0[3:] << np.uint32(24)))                           # u32[S]
+
+    # Phase A: score candidates by leading-equal count over a short prefix
+    # (two 4-byte words).
+    PW = max(1, prefix // 4)
+    win_i = _gather_window(w4, pos, PW, stride=4)                # [S, PW] u32
+    win_j = _gather_window(w4, jnp.maximum(cands, 0).reshape(-1),
+                           PW, stride=4).reshape(S, K, PW)
     eq = (win_j == win_i[:, None, :])
-    lpre = jnp.sum(jnp.cumprod(eq.astype(jnp.int32), axis=-1), axis=-1)  # [S,K]
-    lpre = jnp.where(valid, lpre, -1)
+    lpre = jnp.sum(jnp.cumprod(eq.astype(jnp.int32), axis=-1), axis=-1)
+    lpre = jnp.where(valid, lpre, -1)                            # in words
 
     # Best candidate: max prefix score; stable argmax prefers smaller k =
     # nearer candidate = smaller distance (cheaper dist code) on ties.
@@ -108,15 +120,28 @@ def match_lengths(data: jnp.ndarray, cands: jnp.ndarray,
     best_valid = jnp.take_along_axis(valid, best_k[:, None], axis=1)[:, 0]
     best_lpre = jnp.take_along_axis(lpre, best_k[:, None], axis=1)[:, 0]
 
-    # Phase B: extend the winner to MAX_MATCH with a full compare.
-    src = _gather_window(data, jnp.maximum(best_cand, 0), C.MAX_MATCH)
-    dst = _gather_window(data, pos, C.MAX_MATCH)
-    t = jnp.arange(C.MAX_MATCH, dtype=jnp.int32)
-    in_range = (pos[:, None] + t[None, :]) < S
-    eq_full = (src == dst) & in_range
-    length = jnp.sum(jnp.cumprod(eq_full.astype(jnp.int32), axis=-1), axis=-1)
+    # Phase B: extend the winner to MAX_MATCH in 4-byte strides + byte tail.
+    NW = C.MAX_MATCH // 4 + 1                                    # 65 words
+    src = _gather_window(w4, jnp.maximum(best_cand, 0), NW, stride=4)
+    dst = _gather_window(w4, pos, NW, stride=4)
+    eq_full = src == dst
+    nwords = jnp.sum(jnp.cumprod(eq_full.astype(jnp.int32), axis=-1), axis=-1)
+    nwords = jnp.minimum(nwords, NW - 1)
+    # tail: first differing byte inside the next word (0..3)
+    sx = jnp.take_along_axis(src, nwords[:, None], axis=1)[:, 0]
+    dx = jnp.take_along_axis(dst, nwords[:, None], axis=1)[:, 0]
+    diff = sx ^ dx
+    tail = jnp.where((diff & np.uint32(0xFF)) != 0, 0,
+                     jnp.where((diff & np.uint32(0xFFFF)) != 0, 1,
+                               jnp.where((diff & np.uint32(0xFFFFFF)) != 0,
+                                         2, 3)))
+    length = jnp.minimum(4 * nwords + tail, C.MAX_MATCH)
+    # trailing zero-padding can fake equality past the end; clamp to S - pos
+    length = jnp.minimum(length, S - pos)
 
-    length = jnp.where(best_valid & (best_lpre >= C.MIN_MATCH), length, 0)
+    # MIN_MATCH filtering happens on the exact byte length (3-byte matches
+    # have word-score 0 but are still valid)
+    length = jnp.where(best_valid, length, 0)
     length = jnp.where(length >= C.MIN_MATCH, length, 0)
     dist = jnp.where(length > 0, pos - best_cand, 0)
     return length.astype(jnp.int32), dist.astype(jnp.int32)
@@ -169,6 +194,21 @@ def tokenize(data: jnp.ndarray, valid_len: jnp.ndarray,
 
     cands = find_candidates(data, num_candidates)
     length, dist = match_lengths(data, cands)
+
+    # Constant runs (period-1): exact dist-1 matches without any gathers.
+    # For position i inside a run of equal bytes, a match of
+    # min(258, run_end - i) at distance 1 is available; this keeps long runs
+    # (zeros, padding) optimal even when general extension is capped.
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
+                            data[:-1].astype(jnp.int32)])
+    neq = data.astype(jnp.int32) != prev
+    nxt_start = jnp.where(neq, pos, S)
+    run_end = jnp.flip(jax.lax.cummin(jnp.flip(
+        jnp.concatenate([nxt_start[1:], jnp.array([S], jnp.int32)]))))
+    run_len = jnp.where(~neq, jnp.minimum(run_end - pos, C.MAX_MATCH), 0)
+    better = run_len > length
+    length = jnp.where(better, run_len, length)
+    dist = jnp.where(better, 1, dist)
 
     # Clamp matches to the valid region and to coding-block (tile)
     # boundaries: a token must not EXTEND past a boundary so every block's
