@@ -79,9 +79,12 @@ def find_matches(data: jnp.ndarray, num_candidates: int = 4,
         pay.append(jnp.concatenate([w4[4 * t:],
                                     jnp.zeros((4 * t,), jnp.uint32)]))
 
-    sorted_ops = jax.lax.sort((h, pos, *pay), num_keys=1, is_stable=True)
-    hs, ps = sorted_ops[0], sorted_ops[1]
-    pw = sorted_ops[2:]
+    # one stable argsort; payloads follow via permutation gathers (cheaper
+    # than a multi-operand sort on TPU)
+    order = jnp.argsort(h, stable=True)
+    hs = h[order]
+    ps = order.astype(jnp.int32)        # == pos[order]
+    pw = [p[order] for p in pay]
 
     best_score = jnp.full((S,), -1, jnp.int32)
     best_cand = jnp.full((S,), -1, jnp.int32)
