@@ -20,7 +20,7 @@ import zlib
 import numpy as np
 
 SHARD = 1 << 18          # 256 KB shards: fast compile, high steady-state
-TOTAL_MB = 32
+TOTAL_MB = 16
 
 
 def build_corpus(total_mb: int) -> bytes:
@@ -55,7 +55,10 @@ def main():
     print(f"# device: {dev}", file=sys.stderr)
 
     @jax.jit
-    def encode_all(batch):
+    def encode_all(batch, salt):
+        # the salt defeats any execution-result caching between repeats without
+        # changing the workload measurably (one byte of one shard)
+        batch = batch.at[0, 0].set(salt)
         def one(args):
             row, fin = args
             r = encode_shard(row, jnp.int32(SHARD), fin)
@@ -68,15 +71,18 @@ def main():
     jax.block_until_ready(dbatch)
 
     # warmup / compile
-    words, bits, fp = encode_all(dbatch)
+    words, bits, fp = encode_all(dbatch, jnp.uint8(shards[0, 0]))
     jax.block_until_ready((bits, fp))
 
     best = float("inf")
-    for _ in range(3):
+    for rep in range(2):
         t0 = time.perf_counter()
-        words, bits, fp = encode_all(dbatch)
-        jax.block_until_ready((bits, fp))
+        words, bits, fp = encode_all(dbatch, jnp.uint8(rep))
+        fps = int(np.asarray(fp).sum())      # full sync via host fetch
         best = min(best, time.perf_counter() - t0)
+    # final run with the true first byte for verification below
+    words, bits, fp = encode_all(dbatch, jnp.uint8(shards[0, 0]))
+    jax.block_until_ready((bits, fp))
     ours_mbps = n / best / 1e6
 
     bits_h = np.asarray(bits)

@@ -59,44 +59,106 @@ struct BitIn {
   inline void align() { pos = (pos + 7) & ~7LL; }
 };
 
-// --------------------------------------------------- canonical flat LUTs
-constexpr int LUT_BITS = 15;
-constexpr int LUT_SIZE = 1 << LUT_BITS;
+// ----------------------------------------- canonical two-level decode LUTs
+// L1-resident 10-bit root table + overflow subtables (zlib-inflate style).
+// Root entry (int32): positive  -> len (low 8) | symbol << 8
+//                     negative  -> subtable: bits 0-7 = sub_bits,
+//                                  bits 8-30 = pool offset
+constexpr int ROOT_BITS = 10;
+constexpr int ROOT_SIZE = 1 << ROOT_BITS;
+constexpr int SUB_POOL = 4096;   // >= worst-case overflow pool (ENOUGH-like)
+constexpr int MAX_BITS_C = 15;
 
 struct Lut {
-  int16_t sym[LUT_SIZE];
-  int8_t len[LUT_SIZE];
+  int32_t root[ROOT_SIZE];
+  int32_t sub[SUB_POOL];
 };
 
-// Build the flat LUT from code lengths (RFC 1951 §3.2.2 counting).
-// Returns E_OK or E_TREE on over-subscription.
+static inline int rev_bits(int c, int l) {
+  int r = 0;
+  for (int b = 0; b < l; b++) { r = (r << 1) | (c & 1); c >>= 1; }
+  return r;
+}
+
+// Build from code lengths (RFC 1951 §3.2.2 counting).
+// Returns E_OK or E_TREE on over-subscription / pool overflow.
 static int64_t build_lut(const uint8_t* lens, int n, Lut* t) {
   int bl_count[16] = {0};
   for (int i = 0; i < n; i++) bl_count[lens[i]]++;
   bl_count[0] = 0;
   long kraft = 0;
-  for (int l = 1; l <= 15; l++) kraft += (long)bl_count[l] << (15 - l);
-  if (kraft > LUT_SIZE) return E_TREE;
+  for (int l = 1; l <= MAX_BITS_C; l++)
+    kraft += (long)bl_count[l] << (MAX_BITS_C - l);
+  if (kraft > (1 << MAX_BITS_C)) return E_TREE;
   int next_code[16] = {0};
   int code = 0;
-  for (int l = 1; l <= 15; l++) {
+  for (int l = 1; l <= MAX_BITS_C; l++) {
     code = (code + bl_count[l - 1]) << 1;
     next_code[l] = code;
   }
-  std::memset(t->len, 0, sizeof(t->len));
+  std::memset(t->root, 0, sizeof(t->root));
+
+  // pass 1: per root slot, the max overflow code length
+  uint8_t need[ROOT_SIZE];
+  std::memset(need, 0, sizeof(need));
+  {
+    int nc[16];
+    std::memcpy(nc, next_code, sizeof(nc));
+    for (int s = 0; s < n; s++) {
+      int l = lens[s];
+      if (l == 0) continue;
+      int c = nc[l]++;
+      if (l <= ROOT_BITS) continue;
+      int r = rev_bits(c, l);
+      int slot = r & (ROOT_SIZE - 1);
+      uint8_t nb = (uint8_t)(l - ROOT_BITS);
+      if (nb > need[slot]) need[slot] = nb;
+    }
+  }
+  // allocate subtables
+  int pool = 0;
+  int sub_off[ROOT_SIZE];
+  for (int slot = 0; slot < ROOT_SIZE; slot++) {
+    if (need[slot]) {
+      sub_off[slot] = pool;
+      pool += 1 << need[slot];
+      if (pool > SUB_POOL) return E_TREE;
+      t->root[slot] = -(int32_t)((sub_off[slot] << 8) | need[slot]) - 1;
+    }
+  }
+  std::memset(t->sub, 0, (size_t)pool * sizeof(int32_t));
+
+  // pass 2: fill
   for (int s = 0; s < n; s++) {
     int l = lens[s];
     if (l == 0) continue;
     int c = next_code[l]++;
-    // bit-reverse c within l bits (codes arrive MSB-first)
-    int r = 0, cc = c;
-    for (int b = 0; b < l; b++) { r = (r << 1) | (cc & 1); cc >>= 1; }
-    for (int idx = r; idx < LUT_SIZE; idx += 1 << l) {
-      t->sym[idx] = (int16_t)s;
-      t->len[idx] = (int8_t)l;
+    int r = rev_bits(c, l);
+    int32_t entry = l | (s << 8);
+    if (l <= ROOT_BITS) {
+      for (int idx = r; idx < ROOT_SIZE; idx += 1 << l) t->root[idx] = entry;
+    } else {
+      int slot = r & (ROOT_SIZE - 1);
+      int nb = need[slot];
+      int hi = r >> ROOT_BITS;              // l - ROOT_BITS significant bits
+      int32_t* subt = t->sub + sub_off[slot];
+      for (int idx = hi; idx < (1 << nb); idx += 1 << (l - ROOT_BITS))
+        subt[idx] = entry;
     }
   }
   return E_OK;
+}
+
+// decode one symbol; returns packed entry (len | sym<<8) or 0 on bad code
+static inline int32_t lut_decode(const Lut* t, uint64_t peek) {
+  int32_t e = t->root[(uint32_t)peek & (ROOT_SIZE - 1)];
+  if (e < 0) {
+    int32_t v = -(e + 1);
+    int nb = v & 0xFF;
+    const int32_t* subt = t->sub + (v >> 8);
+    e = subt[((uint32_t)peek >> ROOT_BITS) & ((1u << nb) - 1)];
+  }
+  return e;
 }
 
 static const uint8_t CLEN_ORDER[19] = {16, 17, 18, 0, 8, 7, 9, 6, 10, 5,
@@ -150,11 +212,11 @@ static int64_t read_dynamic(BitIn& in, Lut* ll, Lut* dd) {
   uint8_t lens[286 + 30] = {0};
   int i = 0, prev = -1;
   while (i < total) {
-    uint32_t idx = (uint32_t)(in.peek64() & (LUT_SIZE - 1));
-    int l = cl.len[idx];
+    int32_t ent = lut_decode(&cl, in.peek64());
+    int l = ent & 0xFF;
     if (l == 0) return E_BADCODE;
     in.pos += l;
-    int s = cl.sym[idx];
+    int s = ent >> 8;
     if (s < 16) {
       lens[i++] = (uint8_t)s;
       prev = s;
@@ -281,12 +343,12 @@ int64_t dct_inflate(const uint8_t* inp, int64_t in_len, int64_t bit_pos,
       }
       (void)dyn_ll;
       for (;;) {
-        uint32_t idx = (uint32_t)(in.peek64() & (LUT_SIZE - 1));
-        int l = ll->len[idx];
+        int32_t ent = lut_decode(ll, in.peek64());
+        int l = ent & 0xFF;
         if (l == 0) return E_BADCODE;
         in.pos += l;
         if (!in.ok()) return E_TRUNC;
-        int s = ll->sym[idx];
+        int s = ent >> 8;
         if (s < 256) {
           if (opos >= out_cap) return E_SIZE;
           out[opos++] = (uint8_t)s;
@@ -296,11 +358,11 @@ int64_t dct_inflate(const uint8_t* inp, int64_t in_len, int64_t bit_pos,
           if (s > 285) return E_SYM;
           int li = s - 257;
           int64_t length = LEN_BASE[li] + in.read(LEN_EXTRA[li]);
-          uint32_t didx = (uint32_t)(in.peek64() & (LUT_SIZE - 1));
-          int dl = dd->len[didx];
+          int32_t dent = lut_decode(dd, in.peek64());
+          int dl = dent & 0xFF;
           if (dl == 0) return E_BADCODE;
           in.pos += dl;
-          int ds = dd->sym[didx];
+          int ds = dent >> 8;
           if (ds > 29) return E_SYM;
           int64_t dist = DIST_BASE[ds] + in.read(DIST_EXTRA[ds]);
           if (!in.ok()) return E_TRUNC;
