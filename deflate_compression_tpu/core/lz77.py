@@ -86,23 +86,37 @@ def find_matches(data: jnp.ndarray, num_candidates: int = 4,
     ps = order.astype(jnp.int32)        # == pos[order]
     pw = [p[order] for p in pay]
 
+    def _tail_bytes(diff):
+        return jnp.where((diff & np.uint32(0xFF)) != 0, 0,
+                         jnp.where((diff & np.uint32(0xFFFF)) != 0, 1,
+                                   jnp.where((diff & np.uint32(0xFFFFFF)) != 0,
+                                             2, 3)))
+
     best_score = jnp.full((S,), -1, jnp.int32)
     best_cand = jnp.full((S,), -1, jnp.int32)
     for k in range(1, num_candidates + 1):
         same = hs == _shift_down(hs, k, np.uint32(0xFFFFFFFF))
         cnd = _shift_down(ps, k, -1)
         ok = same & (cnd >= 0) & (ps - cnd <= C.WINDOW_SIZE)
-        # leading-word equality over the 16-byte payload (no gathers)
-        nw = jnp.ones((S,), jnp.int32)
-        score = jnp.zeros((S,), jnp.int32)
+        # byte-granular leading-equality over the 16-byte payload: word
+        # equality count + first-diff-byte within the first unequal word —
+        # all from sorted payload slices, no gathers
+        run = jnp.ones((S,), jnp.int32)
+        nw = jnp.zeros((S,), jnp.int32)
+        first_diff = jnp.zeros((S,), jnp.uint32)
         for t in range(PAYLOAD_WORDS):
-            eq = (pw[t] == _shift_down(pw[t], k, np.uint32(0))).astype(jnp.int32)
-            nw = nw * eq
-            score = score + nw
+            diff = pw[t] ^ _shift_down(pw[t], k, np.uint32(0))
+            hit = (run > 0) & (diff != 0)
+            first_diff = jnp.where(hit, diff, first_diff)
+            eq = (diff == 0).astype(jnp.int32)
+            nw = nw + run * eq
+            run = run * eq
+        score = 4 * nw + jnp.where(run > 0, 0, _tail_bytes(first_diff))
         score = jnp.where(ok, score, -1)
         upd = score > best_score          # strict: earlier k (nearer) wins ties
         best_score = jnp.where(upd, score, best_score)
         best_cand = jnp.where(upd, cnd, best_cand)
+    best_score = best_score // 4          # back to whole words for extension
 
     # back to position order
     score_p = jnp.zeros((S,), jnp.int32).at[ps].set(best_score)
