@@ -1,13 +1,13 @@
-"""Benchmark harness: DEFLATE encode throughput on the default JAX device
-(TPU under the driver) vs CPython zlib level 6 — the reference's own interop
-oracle (util/bin/zlib_encode.py); the C reference never emits a bitstream
-(SURVEY §0), so zlib is the baseline encoder.
+"""Benchmark harness: DEFLATE encode throughput on the current default JAX
+device (TPU under the driver) vs CPython zlib level 6 — the reference's own
+interop oracle (util/bin/zlib_encode.py); the C reference never emits a
+bitstream (SURVEY §0), so zlib is the baseline encoder.
 
-The whole corpus is device-resident: one upload, one jitted lax.map over all
-shards, and only scalar results cross the (slow, tunneled) host link inside
-the timed region. Correctness of the benched bytes is spot-verified by
-fetching two shards afterwards; the full encoder is exhaustively
-oracle-verified in tests/.
+Measurement notes (axon-tunneled TPU): host<->device transfers run at only
+~40 KB/s through the relay, so the corpus is uploaded ONCE (small, device-
+resident) and the timed region re-executes the jitted whole-batch encode
+with a one-byte salt (defeats execution-result caching) fetching only
+scalars. Verification fetches one shard's words afterwards, untimed.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -19,25 +19,24 @@ import zlib
 
 import numpy as np
 
-SHARD = 1 << 18          # 256 KB shards: fast compile, high steady-state
-TOTAL_MB = 16
+SHARD = 1 << 18          # 256 KB shards
+N_SHARDS = 8             # 2 MB corpus: bounded upload through the tunnel
 
 
-def build_corpus(total_mb: int) -> bytes:
+def build_corpus(total_bytes: int) -> bytes:
     """Mixed text+binary corpus (BASELINE.json config 4 shape)."""
     bee = open("/root/reference/test_files/original/bee_movie_script.txt",
                "rb").read()
     rng = np.random.default_rng(1234)
     parts = []
     size = 0
-    target = total_mb << 20
-    while size < target:
+    while size < total_bytes:
         parts.append(bee)
         parts.append(rng.integers(0, 256, 65536, dtype=np.uint8).tobytes())
         parts.append(bytes(np.tile(rng.integers(0, 256, 64, dtype=np.uint8),
                                    256)))
         size += len(bee) + 65536 + 64 * 256
-    return b"".join(parts)[:target]
+    return b"".join(parts)[:total_bytes]
 
 
 def main():
@@ -46,19 +45,19 @@ def main():
     from deflate_compression_tpu.core import bits as bits_mod
     from deflate_compression_tpu.format.deflate import encode_shard
 
-    corpus = build_corpus(TOTAL_MB)
-    n = len(corpus)
-    nsh = n // SHARD
-    shards = np.frombuffer(corpus, np.uint8).reshape(nsh, SHARD)
+    n = SHARD * N_SHARDS
+    corpus = build_corpus(n)
+    shards = np.frombuffer(corpus, np.uint8).reshape(N_SHARDS, SHARD)
 
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
 
     @jax.jit
     def encode_all(batch, salt):
-        # the salt defeats any execution-result caching between repeats without
+        # salt defeats execution-result caching between repeats without
         # changing the workload measurably (one byte of one shard)
         batch = batch.at[0, 0].set(salt)
+
         def one(args):
             row, fin = args
             r = encode_shard(row, jnp.int32(SHARD), fin)
@@ -67,37 +66,40 @@ def main():
         fins = jnp.arange(batch.shape[0]) == batch.shape[0] - 1
         return jax.lax.map(one, (batch, fins))
 
+    t0 = time.perf_counter()
     dbatch = jax.device_put(jnp.asarray(shards), dev)
     jax.block_until_ready(dbatch)
+    print(f"# upload {n >> 20} MB: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
 
-    # warmup / compile
+    # warmup / compile (+ first run)
+    t0 = time.perf_counter()
     words, bits, fp = encode_all(dbatch, jnp.uint8(shards[0, 0]))
     jax.block_until_ready((bits, fp))
+    print(f"# compile+first run: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
 
     best = float("inf")
     for rep in range(2):
         t0 = time.perf_counter()
         words, bits, fp = encode_all(dbatch, jnp.uint8(rep))
-        fps = int(np.asarray(fp).sum())      # full sync via host fetch
-        best = min(best, time.perf_counter() - t0)
-    # final run with the true first byte for verification below
+        _ = int(np.asarray(fp).sum())        # full sync via scalar fetch
+        dt = time.perf_counter() - t0
+        print(f"# rep {rep}: {dt:.2f}s", file=sys.stderr)
+        best = min(best, dt)
+    # final run with the true first byte for verification
     words, bits, fp = encode_all(dbatch, jnp.uint8(shards[0, 0]))
-    jax.block_until_ready((bits, fp))
+    bits_h = np.asarray(bits)
     ours_mbps = n / best / 1e6
 
-    bits_h = np.asarray(bits)
     comp_bytes = int(np.sum((bits_h + 7) // 8))
     ratio = comp_bytes / n
 
-    # spot-verify two shards' actual bytes through the zlib oracle
-    for idx in (0, nsh - 1):
-        w = np.asarray(words[idx])
-        blob = bits_mod.words_to_bytes(w, int(bits_h[idx]))
-        if idx == nsh - 1:
-            got = zlib.decompress(blob, wbits=-15)
-        else:
-            got = zlib.decompress(blob + b"\x01\x00\x00\xff\xff", wbits=-15)
-        assert got == shards[idx].tobytes(), f"shard {idx} mismatch"
+    # spot-verify the final shard's actual bytes through the zlib oracle
+    idx = N_SHARDS - 1
+    blob = bits_mod.words_to_bytes(np.asarray(words[idx]), int(bits_h[idx]))
+    assert zlib.decompress(blob, wbits=-15) == shards[idx].tobytes(), \
+        "benched shard failed oracle verification"
 
     # baseline: zlib level 6 on this host
     t0 = time.perf_counter()
@@ -106,7 +108,7 @@ def main():
     z_mbps = n / zdt / 1e6
     z_ratio = (len(zcomp) - 6) / n
 
-    print(f"# ours: {ours_mbps:.1f} MB/s ratio {ratio:.4f}; "
+    print(f"# ours: {ours_mbps:.2f} MB/s ratio {ratio:.4f}; "
           f"zlib-6: {z_mbps:.1f} MB/s ratio {z_ratio:.4f}", file=sys.stderr)
     print(json.dumps({
         "metric": "encode_throughput",
