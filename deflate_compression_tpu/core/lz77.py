@@ -59,7 +59,7 @@ def _words4(data: jnp.ndarray) -> jnp.ndarray:
 
 
 def find_matches(data: jnp.ndarray, num_candidates: int = 4,
-                 max_match_words: int = 16):
+                 max_match_words: int = 8):
     """Best match per position. Returns (length i32[S], dist i32[S]);
     length 0 where no usable match. Lengths capped at
     min(4 * max_match_words + 3, 258)."""
@@ -187,13 +187,13 @@ def greedy_parse(token_len: jnp.ndarray) -> jnp.ndarray:
                                              "boundary", "max_match_words"))
 def tokenize(data: jnp.ndarray, valid_len: jnp.ndarray,
              num_candidates: int = 4, lazy: bool = True,
-             boundary: int = C.WINDOW_SIZE, max_match_words: int = 16):
+             boundary: int = C.WINDOW_SIZE, max_match_words: int = 8):
     """Full LZ77 stage for one shard.
 
     Args:
       data: u8[S] shard bytes (S static; tail beyond valid_len is padding).
       valid_len: i32 scalar, number of real bytes.
-      max_match_words: general-match length cap in 4-byte words (16 => 64 B;
+      max_match_words: general-match length cap in 4-byte words (8 => 32 B;
         65 => full 258). Constant runs always reach 258 via the run detector.
 
     Returns dict with, per position (fixed shape S):
