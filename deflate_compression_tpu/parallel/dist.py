@@ -112,9 +112,16 @@ def encode_sharded(data: jnp.ndarray, valid_lens: jnp.ndarray,
 def compress_distributed(raw: bytes, mesh: Mesh | None = None,
                          shard_size: int = 1 << 20,
                          num_candidates: int = 4, lazy: bool = True,
-                         container: str = "zlib") -> bytes:
+                         container: str = "zlib", max_retries: int = 2,
+                         _fault_hook=None) -> bytes:
     """Host driver: shard `raw` across the mesh, encode in waves of D shards,
-    concatenate ordered output, wrap in the container."""
+    concatenate ordered output, wrap in the container.
+
+    Fault tolerance (SURVEY §5.3): encoding is deterministic given
+    (input, config, shard plan), so a failed wave — device error, preempted
+    chip, transient runtime fault — is simply re-executed, up to
+    `max_retries` times. `_fault_hook(wave_idx, attempt)` is a test seam that
+    may raise to inject failures."""
     mesh = mesh or make_mesh()
     D = mesh.devices.size
     shard_size = max(BLOCK, (shard_size // BLOCK) * BLOCK)
@@ -144,13 +151,30 @@ def compress_distributed(raw: bytes, mesh: Mesh | None = None,
         # empty rows still encode (1 byte min); mark them len 1 and drop below
         drop = vls == 0
         vls = np.maximum(vls, 1)
-        r = encode_sharded(jax.device_put(jnp.asarray(batch), sharding),
-                           jax.device_put(jnp.asarray(vls), s1d),
-                           jax.device_put(jnp.asarray(fins), s1d),
-                           mesh, num_candidates=num_candidates, lazy=lazy)
-        shard_bytes = np.asarray(r["shard_bytes"])
-        out = np.asarray(r["out_bytes"])
-        adlers = np.asarray(r["adler"])
+
+        last_err = None
+        for attempt in range(max_retries + 1):
+            try:
+                if _fault_hook is not None:
+                    _fault_hook(wave // D, attempt)
+                r = encode_sharded(
+                    jax.device_put(jnp.asarray(batch), sharding),
+                    jax.device_put(jnp.asarray(vls), s1d),
+                    jax.device_put(jnp.asarray(fins), s1d),
+                    mesh, num_candidates=num_candidates, lazy=lazy)
+                shard_bytes = np.asarray(r["shard_bytes"])
+                out = np.asarray(r["out_bytes"])
+                adlers = np.asarray(r["adler"])
+                last_err = None
+                break
+            except Exception as e:  # deterministic re-encode on any fault
+                last_err = e
+        if last_err is not None:
+            from ..utils.errors import DistError
+            raise DistError(
+                "E_SHARD",
+                f"wave {wave // D} failed after {max_retries + 1} attempts: "
+                f"{last_err}")
         off = 0
         for k in range(D):
             sz = int(shard_bytes[k])

@@ -130,3 +130,18 @@ def test_histogram_masked():
     mask = jnp.array([True, True, False, True, True])
     h = np.asarray(huffman.histogram(sym, 10, mask=mask))
     assert list(h) == [1, 1, 1, 0, 0, 0, 0, 0, 0, 1]
+
+
+def test_pallas_tile_histogram_interpret():
+    """ops/histogram_pallas must agree with the reference bincount."""
+    import jax
+    from deflate_compression_tpu.ops.histogram_pallas import tile_histogram
+    rng = np.random.default_rng(3)
+    S, tile, nc = 1 << 14, 2048, 286
+    sym = rng.integers(-1, nc, S).astype(np.int32)
+    got = np.asarray(tile_histogram(jnp.asarray(sym), nc, tile,
+                                    interpret=jax.default_backend() != "tpu"))
+    for i in range(S // tile):
+        seg = sym[i * tile:(i + 1) * tile]
+        want = np.bincount(seg[seg >= 0], minlength=nc)[:nc]
+        assert (got[i] == want).all()

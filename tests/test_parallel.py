@@ -55,3 +55,33 @@ def test_distributed_exact_shard_multiple(mesh):
 def test_distributed_empty(mesh):
     comp = dist.compress_distributed(b"", mesh, shard_size=SHARD)
     assert zlib.decompress(comp) == b""
+
+
+def test_fault_injection_retry(mesh):
+    """SURVEY §5.3: failed waves re-encode deterministically."""
+    calls = []
+
+    def hook(wave, attempt):
+        calls.append((wave, attempt))
+        if wave == 0 and attempt == 0:
+            raise RuntimeError("injected chip fault")
+
+    raw = open("/root/reference/docs/rfc1950.txt", "rb").read()
+    comp = dist.compress_distributed(raw, mesh, shard_size=SHARD,
+                                     _fault_hook=hook)
+    assert zlib.decompress(comp) == raw
+    assert (0, 0) in calls and (0, 1) in calls
+    # retried output equals an unfaulted run byte-for-byte
+    comp2 = dist.compress_distributed(raw, mesh, shard_size=SHARD)
+    assert comp == comp2
+
+
+def test_fault_exhausted_raises(mesh):
+    from deflate_compression_tpu.utils.errors import DistError
+
+    def hook(wave, attempt):
+        raise RuntimeError("permanent fault")
+
+    with pytest.raises(DistError):
+        dist.compress_distributed(b"data" * 10000, mesh, shard_size=SHARD,
+                                  max_retries=1, _fault_hook=hook)
