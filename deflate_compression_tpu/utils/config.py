@@ -19,7 +19,7 @@ class CodecConfig:
     # shard = unit of jit/device-parallel work; must be a multiple of 32768
     shard_size: int = 1 << 20
     # LZ77 search effort: nearest same-hash candidates scored per position
-    num_candidates: int = 4
+    num_candidates: int = 16
     # one-step lazy matching (zlib-style)
     lazy: bool = True
     # container: "raw" | "zlib" | "gzip"
@@ -32,8 +32,8 @@ class CodecConfig:
             raise ValueError("shard_size must be a positive multiple of 32768")
         if self.container not in ("raw", "zlib", "gzip"):
             raise ValueError(f"unknown container {self.container!r}")
-        if not 1 <= self.num_candidates <= 16:
-            raise ValueError("num_candidates must be in [1, 16]")
+        if not 1 <= self.num_candidates <= 64:
+            raise ValueError("num_candidates must be in [1, 64]")
 
 
 DEFAULT_CONFIG = CodecConfig()
