@@ -157,12 +157,10 @@ def find_matches(data: jnp.ndarray, num_candidates: int = 16,
     return length.astype(jnp.int32), dist.astype(jnp.int32)
 
 
-def greedy_parse(token_len: jnp.ndarray) -> jnp.ndarray:
-    """Mark the positions chosen by a greedy left-to-right parse.
-
-    token_len[i] >= 1 is the number of bytes a token starting at i consumes.
-    Returns bool[S] chosen mask. Pointer doubling: the chosen set is the
-    orbit of position 0 under next[i] = i + token_len[i]."""
+def greedy_parse_flat(token_len: jnp.ndarray) -> jnp.ndarray:
+    """Reference parse: plain pointer doubling over the whole shard
+    (log2(S) scatter+gather rounds). Kept as the oracle for the chunked
+    version below."""
     S = token_len.shape[0]
     nxt = jnp.minimum(jnp.arange(S, dtype=jnp.int32) + token_len, S)
     jump = jnp.concatenate([nxt, jnp.array([S], jnp.int32)])  # S absorbing
@@ -180,6 +178,56 @@ def greedy_parse(token_len: jnp.ndarray) -> jnp.ndarray:
         return (chosen, jump), None
 
     (chosen, _), _ = jax.lax.scan(body, (chosen, jump), None, length=rounds)
+    return chosen[:S]
+
+
+def greedy_parse(token_len: jnp.ndarray, chunk: int = 64) -> jnp.ndarray:
+    """Greedy left-to-right parse: mark the positions where tokens start.
+
+    token_len[i] >= 1 is the number of bytes a token starting at i consumes;
+    the chosen set is the orbit of 0 under next[i] = i + token_len[i].
+
+    Chunked resolution (random accesses are the TPU bottleneck): within
+    64-position chunks, exit pointers resolve in log2(64) doubling rounds;
+    a cheap scan threads entries across chunks; chosen positions then mark
+    in log2(64) more rounds — ~2x fewer scatter/gathers than flat doubling.
+    """
+    S = token_len.shape[0]
+    if S % chunk or S <= chunk:
+        return greedy_parse_flat(token_len)
+    nchunks = S // chunk
+    pos = jnp.arange(S, dtype=jnp.int32)
+    g = jnp.minimum(pos + token_len, S)
+    end_i = (pos // chunk + 1) * chunk
+
+    # phase A: e[i] = first walk position >= end of i's chunk
+    e = g
+    for _ in range(max(1, int(np.ceil(np.log2(chunk))))):
+        e_next = e[jnp.clip(e, 0, S - 1)]
+        e = jnp.where(e >= end_i, e, e_next)
+
+    # phase B: thread entries across chunks (tiny scan, 1 gather per chunk)
+    def chunk_step(p, c):
+        start = c * chunk
+        inside = (p >= start) & (p < start + chunk)
+        entry = jnp.where(inside, p, -1)
+        p2 = jnp.where(inside, e[jnp.clip(p, 0, S - 1)], p)
+        return p2, entry
+
+    p0 = jnp.int32(0) + g[0] * 0       # data-tied zero (shard_map vma)
+    _, entries = jax.lax.scan(chunk_step, p0,
+                              jnp.arange(nchunks, dtype=jnp.int32))
+
+    # phase C: mark the within-chunk walks from each entry
+    jump = jnp.concatenate([jnp.where(g < end_i, g, S),
+                            jnp.array([S], jnp.int32)])
+    chosen = jnp.zeros((S + 1,), jnp.bool_).at[
+        jnp.where(entries >= 0, entries, S)].set(True, mode="drop")
+    chosen = chosen | (jump < 0)       # tie to data (shard_map vma)
+    for _ in range(max(1, int(np.ceil(np.log2(chunk))))):
+        tgt = jnp.where(chosen, jump, S)
+        chosen = chosen.at[tgt].set(True)
+        jump = jump[jump]
     return chosen[:S]
 
 

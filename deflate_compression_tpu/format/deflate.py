@@ -246,28 +246,33 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     cs_incl = cs_excl + chosen.astype(jnp.int32)
     eob_slot = cs_incl[end_pos_b - 1] + b_idx
 
-    def scat(src, fill):
-        arr = jnp.full((T,), fill, jnp.int32)
-        tgt = jnp.where(chosen, slot, T)
-        return arr.at[tgt].set(src.astype(jnp.int32), mode="drop")
-
-    ll_sym = scat(ll_sym_pos, 0)
-    ll_ev = scat(ll_ev_pos, 0)
-    ll_eb = scat(ll_eb_pos, 0)
-    d_sym = scat(d_sym_pos, 0)
-    d_ev = scat(d_ev_pos, 0)
-    d_eb = scat(d_eb_pos, 0)
-    tok_blk = scat(blk_of_pos, 0)
-    tok_valid = jnp.zeros((T,), jnp.bool_).at[
-        jnp.where(chosen, slot, T)].set(True, mode="drop")
-    tok_is_match = jnp.zeros((T,), jnp.bool_).at[
-        jnp.where(is_match, slot, T)].set(True, mode="drop")
+    # Scatter token fields bit-packed into TWO words per slot (scatters are
+    # ~100M elem/s on TPU — the packing cuts 9 scatters to 3):
+    #   A: ll_sym(9) | ll_ev(5)<<9 | ll_eb(3)<<14 | valid<<17 | is_match<<18
+    #   B: d_sym(5) | d_ev(13)<<5 | d_eb(4)<<18 | blk<<22  (NB <= 512)
+    assert NB <= 512
+    packA_pos = (ll_sym_pos | (ll_ev_pos << 9) | (ll_eb_pos << 14)
+                 | (1 << 17) | (is_match.astype(jnp.int32) << 18))
+    packB_pos = (d_sym_pos | (d_ev_pos << 5) | (d_eb_pos << 18)
+                 | (blk_of_pos << 22))
+    tgt = jnp.where(chosen, slot, T)
+    packA = jnp.zeros((T,), jnp.int32).at[tgt].set(packA_pos, mode="drop")
+    packB = jnp.zeros((T,), jnp.int32).at[tgt].set(packB_pos, mode="drop")
 
     # EOB tokens (symbol 256) per emitted block.
     eob_tgt = jnp.where(b_emitted, eob_slot, T)
-    ll_sym = ll_sym.at[eob_tgt].set(C.EOB, mode="drop")
-    tok_blk = tok_blk.at[eob_tgt].set(b_idx, mode="drop")
-    tok_valid = tok_valid.at[eob_tgt].set(True, mode="drop")
+    packA = packA.at[eob_tgt].set(C.EOB | (1 << 17), mode="drop")
+    packB = packB.at[eob_tgt].set(b_idx << 22, mode="drop")
+
+    ll_sym = packA & 0x1FF
+    ll_ev = (packA >> 9) & 0x1F
+    ll_eb = (packA >> 14) & 0x7
+    tok_valid = (packA >> 17) & 1 == 1
+    tok_is_match = (packA >> 18) & 1 == 1
+    d_sym = packB & 0x1F
+    d_ev = (packB >> 5) & 0x1FFF
+    d_eb = (packB >> 18) & 0xF
+    tok_blk = (packB >> 22) & 0x1FF
 
     # ------------------------------------------------------- histograms/trees
     ll_key = tok_blk * C.NUM_LITLEN + ll_sym
@@ -361,14 +366,20 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
                                         ll_len_eff)
     d_code_rev = bits_mod.reverse_bits(d_code_eff.astype(jnp.uint32),
                                        d_len_eff)
+    # fuse (code, len) into one table word so token lookup is ONE gather per
+    # alphabet (code <= 15 bits, len <= 4 bits at bit 16)
+    ll_tab = ll_code_rev | (ll_len_eff.astype(jnp.uint32) << np.uint32(16))
+    d_tab = d_code_rev | (d_len_eff.astype(jnp.uint32) << np.uint32(16))
 
     # ------------------------------------------------------------ token items
     flat_ll = (tok_blk * C.NUM_LITLEN + ll_sym).reshape(-1)
-    tk_ll_bits = ll_len_eff.reshape(-1)[flat_ll]
-    tk_ll_code = ll_code_rev.reshape(-1)[flat_ll]
+    tk_ll = ll_tab.reshape(-1)[flat_ll]
+    tk_ll_bits = (tk_ll >> np.uint32(16)).astype(jnp.int32)
+    tk_ll_code = tk_ll & np.uint32(0xFFFF)
     flat_d = (tok_blk * C.NUM_DIST + d_sym).reshape(-1)
-    tk_d_bits = d_len_eff.reshape(-1)[flat_d]
-    tk_d_code = d_code_rev.reshape(-1)[flat_d]
+    tk_d = d_tab.reshape(-1)[flat_d]
+    tk_d_bits = (tk_d >> np.uint32(16)).astype(jnp.int32)
+    tk_d_code = tk_d & np.uint32(0xFFFF)
 
     huff_blk = (btype != C.BTYPE_STORED)[tok_blk] & tok_valid & b_emitted[tok_blk]
 

@@ -4,6 +4,7 @@ The decode-as-you-encode idea of tests/check_lld.c (reference :1-6, :20-39):
 every emitted token is replayed through an independent window to reconstruct
 the input. Here that replay is the core property test for the tokenizer.
 """
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -105,3 +106,16 @@ def test_match_crosses_block_boundary_within_shard():
     got = replay(buf, len(raw), np.asarray(tok["chosen"]),
                  np.asarray(tok["length"]), np.asarray(tok["dist"]))
     assert got == raw
+
+
+def test_chunked_parse_equals_flat():
+    rng = np.random.default_rng(9)
+    for trial in range(6):
+        Sz = 4096
+        tl = np.ones(Sz, np.int32)
+        # random mix of matches and literals
+        m = rng.random(Sz) < 0.3
+        tl[m] = rng.integers(3, 259, m.sum())
+        got = np.asarray(jax.jit(lz77.greedy_parse)(jnp.asarray(tl)))
+        want = np.asarray(jax.jit(lz77.greedy_parse_flat)(jnp.asarray(tl)))
+        assert (got == want).all(), trial
