@@ -1,0 +1,209 @@
+"""Decode-index sidecar: random access + device-parallel decode.
+
+A DEFLATE stream is bit-serial; the index records, per coding block, its bit
+offset, output byte offset and type, making decoding embarrassingly parallel
+(decode/tpu_inflate.py) and giving O(1) random access into the stream — the
+deliberate TPU trade described in SURVEY §7.3 item 4 and PAPERS.md (rapidgzip
+builds the same index at first decode; gzip's zran does it offline).
+
+Sources of an index:
+  * free from our encoder (format/deflate.py stats), via `index_from_shards`;
+  * one host pass over any foreign zlib/DEFLATE stream (`build_index`) —
+    block boundaries require decoding symbols, but only COUNTING output, so
+    the pass needs no window buffer.
+
+Sidecar format (.dcx): magic 'DCXI', u32 version, u32 n_blocks, u64 out_len,
+then per block u64 bit_base, u64 out_start, u8 btype.
+"""
+from __future__ import annotations
+
+import dataclasses
+import struct
+
+import numpy as np
+
+from ..core.bits import BitReader
+from ..core.huffman import decode_lut_np
+from ..format import constants as C
+from ..utils.errors import DeflateError
+
+_MAGIC = b"DCXI"
+_VERSION = 1
+
+
+@dataclasses.dataclass
+class DecodeIndex:
+    bit_base: np.ndarray      # i64[n] bit offset of each block header
+    out_start: np.ndarray     # i64[n] output byte offset of each block
+    btype: np.ndarray         # u8[n]
+    out_len: int              # total decompressed bytes
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self.bit_base)
+
+    def to_bytes(self) -> bytes:
+        head = _MAGIC + struct.pack("<IIQ", _VERSION, self.n_blocks,
+                                    self.out_len)
+        body = b"".join(
+            struct.pack("<QQB", int(b), int(o), int(t))
+            for b, o, t in zip(self.bit_base, self.out_start, self.btype))
+        return head + body
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "DecodeIndex":
+        if data[:4] != _MAGIC:
+            raise DeflateError("E_HDR", "bad index magic")
+        ver, n, out_len = struct.unpack("<IIQ", data[4:20])
+        if ver != _VERSION:
+            raise DeflateError("E_HDR", f"unsupported index version {ver}")
+        bb = np.zeros(n, np.int64)
+        os_ = np.zeros(n, np.int64)
+        bt = np.zeros(n, np.uint8)
+        off = 20
+        for i in range(n):
+            bb[i], os_[i], bt[i] = struct.unpack("<QQB", data[off:off + 17])
+            off += 17
+        return cls(bb, os_, bt, out_len)
+
+    def block_for_offset(self, byte_off: int) -> int:
+        """Random access: which block contains output byte `byte_off`."""
+        return int(np.searchsorted(self.out_start, byte_off, "right") - 1)
+
+
+def build_index(stream: bytes, bit_pos: int = 0) -> DecodeIndex:
+    """One host pass over a raw DEFLATE stream: records block boundaries by
+    decoding symbols but only COUNTING output bytes (no window needed)."""
+    r = BitReader(stream, bit_pos)
+    bit_base, out_start, btypes = [], [], []
+    out = 0
+    while True:
+        bit_base.append(r.pos)
+        out_start.append(out)
+        bfinal = r.read(1)
+        btype = r.read(2)
+        btypes.append(btype)
+        if btype == C.BTYPE_STORED:
+            r.align_byte()
+            ln = r.read(16)
+            nlen = r.read(16)
+            if ln != (~nlen & 0xFFFF):
+                raise DeflateError("E_STORED", "LEN != ~NLEN")
+            r.skip(8 * ln)
+            out += ln
+        elif btype in (C.BTYPE_FIXED, C.BTYPE_DYNAMIC):
+            if btype == C.BTYPE_FIXED:
+                ll = decode_lut_np(C.FIXED_LITLEN_LENGTHS, 15)
+                dd = decode_lut_np(C.FIXED_DIST_LENGTHS, 15)
+            else:
+                from .inflate import _read_dynamic_tables
+                ll, dd = _read_dynamic_tables(r)
+            ll_sym, ll_len = ll
+            d_sym, d_len = dd
+            while True:
+                idx = r.peek(15)
+                l = ll_len[idx]
+                if l == 0:
+                    raise DeflateError("E_BADCODE", "invalid code")
+                r.skip(int(l))
+                s = int(ll_sym[idx])
+                if s < 256:
+                    out += 1
+                elif s == 256:
+                    break
+                else:
+                    li = s - 257
+                    out += int(C.LENGTH_BASE[li]) + r.read(int(C.LENGTH_EXTRA[li]))
+                    didx = r.peek(15)
+                    dl = d_len[didx]
+                    if dl == 0:
+                        raise DeflateError("E_BADCODE", "invalid dist code")
+                    r.skip(int(dl))
+                    r.skip(int(C.DIST_EXTRA[int(d_sym[didx])]))
+        else:
+            raise DeflateError("E_BTYPE", "reserved BTYPE=3")
+        if bfinal:
+            break
+    return DecodeIndex(np.array(bit_base, np.int64),
+                       np.array(out_start, np.int64),
+                       np.array(btypes, np.uint8), out)
+
+
+def index_from_shards(shard_results, shard_comp_bits, shard_out_lens) -> DecodeIndex:
+    """Assemble a stream-level index from per-shard encoder stats
+    (format/deflate.py returns block_bit_base/block_out_start/btype/n_blocks
+    relative to each shard)."""
+    bit_base, out_start, btypes = [], [], []
+    bit_off = 0
+    out_off = 0
+    for r, nbits, out_len in zip(shard_results, shard_comp_bits,
+                                 shard_out_lens):
+        n = int(r["n_blocks"])
+        bb = np.asarray(r["block_bit_base"])[:n]
+        os_ = np.asarray(r["block_out_start"])[:n]
+        bt = np.asarray(r["btype"])[:n]
+        bit_base += list(bb + bit_off)
+        out_start += list(os_ + out_off)
+        btypes += list(bt)
+        bit_off += int(np.ceil(nbits / 8)) * 8   # shards are byte-aligned
+        out_off += out_len
+    return DecodeIndex(np.array(bit_base, np.int64),
+                       np.array(out_start, np.int64),
+                       np.array(btypes, np.uint8), out_off)
+
+
+def decompress_indexed(stream: bytes, index: DecodeIndex,
+                       shard_out: int = 1 << 20) -> bytes:
+    """Decode a raw DEFLATE stream with the TPU-parallel decoder, batching
+    blocks into device groups of ~shard_out output bytes. The previous
+    group's last 32 KB rides along as window context so match distances may
+    cross group boundaries (general streams have no window resets)."""
+    import jax.numpy as jnp
+    from .tpu_inflate import decode_shard_indexed
+
+    W = C.WINDOW_SIZE
+    n = index.n_blocks
+    out_parts = []
+    prev_tail = np.zeros(W, np.uint8)
+    plen = 0
+    i = 0
+    while i < n:
+        j = i
+        start = int(index.out_start[i])
+        while j < n and (int(index.out_start[j]) - start) < shard_out:
+            j += 1
+        end_out = int(index.out_start[j]) if j < n else index.out_len
+        span = end_out - start
+        nb = j - i
+        NBP = max(1, 1 << int(np.ceil(np.log2(max(nb, 1)))))
+        S = 1 << int(np.ceil(np.log2(max(plen + span, 2))))
+
+        # the decoder reads bits relative to the stream start; rebase bytes
+        first_byte = int(index.bit_base[i]) // 8 // 4 * 4   # u32-word align
+        words = np.frombuffer(
+            stream[first_byte:] + b"\x00" * 3, np.uint8)
+        wlen = (len(words) // 4) * 4
+        comp_words = words[:wlen].view(np.uint32)
+
+        bb = np.full(NBP, 0, np.int32)
+        os_ = np.full(NBP, 0, np.int32)
+        bt = np.full(NBP, -1, np.int32)
+        bb[:nb] = (index.bit_base[i:j] - first_byte * 8).astype(np.int32)
+        os_[:nb] = (index.out_start[i:j] - start + plen).astype(np.int32)
+        bt[:nb] = index.btype[i:j]
+
+        res = decode_shard_indexed(jnp.asarray(comp_words), jnp.asarray(bb),
+                                   jnp.asarray(os_), jnp.asarray(bt),
+                                   jnp.int32(nb), jnp.int32(plen + span),
+                                   S, prefix=jnp.asarray(prev_tail),
+                                   prefix_len=jnp.int32(plen))
+        if not bool(res["ok"]):
+            raise DeflateError("E_BADCODE", "indexed decode failed")
+        full = np.asarray(res["out"])[:plen + span]
+        out_parts.append(full[plen:].tobytes())
+        tail = full[max(0, plen + span - W):]
+        prev_tail = np.zeros(W, np.uint8)
+        prev_tail[:len(tail)] = tail
+        plen = len(tail)
+        i = j
+    return b"".join(out_parts)

@@ -120,7 +120,9 @@ def decode_shard_indexed(comp_words: jnp.ndarray,
                          btype: jnp.ndarray,
                          n_blocks: jnp.ndarray,
                          valid_out: jnp.ndarray,
-                         out_size: int):
+                         out_size: int,
+                         prefix: jnp.ndarray | None = None,
+                         prefix_len: jnp.ndarray | None = None):
     """Decode one shard's DEFLATE substream given its block index.
 
     Args:
@@ -131,8 +133,13 @@ def decode_shard_indexed(comp_words: jnp.ndarray,
       n_blocks: i32 — number of live blocks.
       valid_out: i32 — total decompressed bytes.
       out_size: static output capacity (>= valid_out).
+      prefix/prefix_len: optional u8[W]/i32 — already-decoded window context
+        occupying output positions [0, prefix_len): lets match distances
+        reach into the previous decode group when the stream's 32 KB window
+        crosses the group boundary (out_start entries must be shifted by the
+        caller). out[:prefix_len] reproduces the prefix.
 
-    Returns dict(out=u8[out_size], ok=bool, bad_bits=bool lane diagnostics).
+    Returns dict(out=u8[out_size], ok=bool, bad_lanes=bool diagnostics).
     """
     NB = bit_base.shape[0]
     S = out_size
@@ -323,7 +330,17 @@ def decode_shard_indexed(comp_words: jnp.ndarray,
 
     # literal values + match coverage via forward-fill
     j_idx = jnp.arange(S, dtype=jnp.int32)
-    lit_val = jnp.zeros((S,), jnp.uint8)
+    if prefix is not None:
+        plen = prefix_len.astype(jnp.int32)
+        W = prefix.shape[0]
+        lit_val = jnp.where(j_idx < plen,
+                            jnp.concatenate(
+                                [prefix.astype(jnp.uint8),
+                                 jnp.zeros((max(S - W, 0),), jnp.uint8)])[:S],
+                            0)
+    else:
+        plen = jnp.int32(0)
+        lit_val = jnp.zeros((S,), jnp.uint8)
     lit_tgt = jnp.where(tok_valid & (tok_kind == 0), out_pos, S)
     lit_val = lit_val.at[lit_tgt].set(tok_a.astype(jnp.uint8), mode="drop")
 
@@ -343,7 +360,7 @@ def decode_shard_indexed(comp_words: jnp.ndarray,
     lane_of_pos = jnp.clip(
         jnp.searchsorted(sorted_starts, j_idx, side="right") - 1, 0, NB - 1
     ).astype(jnp.int32)
-    pos_lane_sto = is_sto[lane_of_pos]
+    pos_lane_sto = is_sto[lane_of_pos] & (j_idx >= plen)
     sto_src = jnp.clip(sto_pay_byte[lane_of_pos]
                        + (j_idx - out_start[lane_of_pos]), 0,
                        comp_bytes.shape[0] - 1)
