@@ -52,6 +52,21 @@ def cmd_compress(args) -> int:
         out, stats = make_codec(cfg).compress(raw, return_stats=True)
     dt = time.perf_counter() - t0
     _write(args.output, out)
+    if args.index:
+        from .decode.index import build_index
+        from .format import constants as FC
+        body = out
+        if cfg.container == "zlib":
+            body = out[2:]
+        elif cfg.container == "gzip":
+            from .format.containers import gzip_parse_header
+            body = out[gzip_parse_header(out):]
+        idx = build_index(body)
+        with open(args.index, "wb") as f:
+            f.write(idx.to_bytes())
+        if args.verbose:
+            print(f"index: {idx.n_blocks} blocks -> {args.index}",
+                  file=sys.stderr)
     if args.verbose:
         rate = len(raw) / dt / 1e6 if dt > 0 else 0
         print(f"{len(raw)} -> {len(out)} bytes "
@@ -73,6 +88,19 @@ def cmd_decompress(args) -> int:
     from .models.codec import DeflateCodec, GzipCodec, ZlibCodec
     from .utils.config import CodecConfig
     data = _read(args.input)
+    if args.index:
+        # device-parallel decode via the sidecar (decode/tpu_inflate.py)
+        from .decode.index import DecodeIndex, decompress_indexed
+        with open(args.index, "rb") as f:
+            idx = DecodeIndex.from_bytes(f.read())
+        body = data
+        if data[:2] == C.GZIP_MAGIC:
+            from .format.containers import gzip_parse_header
+            body = data[gzip_parse_header(data):]
+        elif (data[0] & 0x0F) == 8 and ((data[0] << 8) | data[1]) % 31 == 0:
+            body = data[2:]
+        _write(args.output, decompress_indexed(body, idx))
+        return 0
     cfg = CodecConfig(verify_checksums=not args.no_verify)
     if data[:2] == C.GZIP_MAGIC:
         codec = GzipCodec(cfg)
@@ -198,6 +226,7 @@ def main(argv=None) -> int:
     c.add_argument("--distributed", action="store_true",
                    help="use all devices in a data-parallel mesh")
     c.add_argument("--stats", help="write per-block cost CSV here")
+    c.add_argument("--index", help="write a .dcx decode index sidecar here")
     c.add_argument("-v", "--verbose", action="store_true")
     c.set_defaults(fn=cmd_compress)
 
@@ -205,6 +234,8 @@ def main(argv=None) -> int:
     d.add_argument("input")
     d.add_argument("-o", "--output", default="-")
     d.add_argument("--no-verify", action="store_true")
+    d.add_argument("--index",
+                   help="use a .dcx sidecar for device-parallel decode")
     d.set_defaults(fn=cmd_decompress)
 
     i = sub.add_parser("inspect")

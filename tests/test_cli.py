@@ -79,3 +79,15 @@ def test_metrics_recorder():
     assert csv.splitlines()[1] == "32768,1000"
     assert csv.splitlines()[2] == "65536,1900"
     assert m.summary()["block_bits"]["sum"] == 1900
+
+
+def test_index_sidecar_cycle(tmp_path):
+    out = tmp_path / "x.zz"
+    dcx = tmp_path / "x.dcx"
+    dec = tmp_path / "x.out"
+    assert main(["compress", SRC, "-o", str(out), "--shard-size", "65536",
+                 "--index", str(dcx)]) == 0
+    assert dcx.exists() and dcx.read_bytes()[:4] == b"DCXI"
+    assert main(["decompress", str(out), "--index", str(dcx),
+                 "-o", str(dec)]) == 0
+    assert dec.read_bytes() == open(SRC, "rb").read()
