@@ -91,15 +91,19 @@ def _canon_tables(lengths: jnp.ndarray, n: int, max_bits: int):
 def _decode_symbol(rev: jnp.ndarray, first, limit, base, order,
                    lane: jnp.ndarray, max_bits: int):
     """Vectorized canonical decode: returns (symbol, code_len); code_len 0 =>
-    invalid code."""
-    found_l = jnp.zeros_like(rev, dtype=jnp.int32)
-    sym_idx = jnp.zeros_like(rev, dtype=jnp.int32)
-    for l in range(1, max_bits + 1):
-        c = (rev >> np.uint32(max_bits - l)).astype(jnp.int32)
-        f = first[lane, l]
+    invalid code. fori_loop over code lengths keeps the compiled body small
+    (the unrolled form exploded TPU compile time)."""
+    def body(l, st):
+        found_l, sym_idx = st
+        c = (rev >> (np.uint32(max_bits) - l.astype(jnp.uint32))
+             ).astype(jnp.int32)
         hit = (c < limit[lane, l]) & (found_l == 0)
         found_l = jnp.where(hit, l, found_l)
-        sym_idx = jnp.where(hit, base[lane, l] + c - f, sym_idx)
+        sym_idx = jnp.where(hit, base[lane, l] + c - first[lane, l], sym_idx)
+        return found_l, sym_idx
+
+    z = jnp.zeros_like(rev, dtype=jnp.int32)
+    found_l, sym_idx = jax.lax.fori_loop(1, max_bits + 1, body, (z, z))
     n = order.shape[1]
     sym = order[lane, jnp.clip(sym_idx, 0, n - 1)]
     return sym, found_l
