@@ -39,7 +39,8 @@ def cmd_compress(args) -> int:
     from .utils.config import CodecConfig
     cfg = CodecConfig(shard_size=args.shard_size,
                       num_candidates=args.candidates,
-                      lazy=not args.greedy, container=args.container)
+                      lazy=not args.greedy, container=args.container,
+                      block_type=args.btype)
     raw = _read(args.input)
     t0 = time.perf_counter()
     if args.distributed:
@@ -223,6 +224,9 @@ def main(argv=None) -> int:
     c.add_argument("--candidates", type=int, default=4)
     c.add_argument("--greedy", action="store_true",
                    help="disable lazy matching")
+    c.add_argument("--btype", default="auto",
+                   choices=["auto", "stored", "fixed", "dynamic"],
+                   help="force a DEFLATE block type")
     c.add_argument("--distributed", action="store_true",
                    help="use all devices in a data-parallel mesh")
     c.add_argument("--stats", help="write per-block cost CSV here")

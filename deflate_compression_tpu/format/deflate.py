@@ -150,7 +150,7 @@ def _tree_rle(comb: jnp.ndarray, total: jnp.ndarray):
 def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
                  final: jnp.ndarray, num_candidates: int = 16,
                  lazy: bool = True, adaptive_blocks: bool = True,
-                 max_merge: int = 8):
+                 max_merge: int = 8, force_btype: int | None = None):
     """Encode one shard into a DEFLATE bitstream (jit-friendly, fixed shape).
 
     Args:
@@ -162,6 +162,10 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
         cost model (core/cost.py — the AHT chunk-split capability,
         reference README.md:15-20) instead of fixed 32 KB blocks.
       max_merge: max 32 KB tiles merged into one coding block.
+      force_btype: None for cost-based selection, or BTYPE_STORED/FIXED/
+        DYNAMIC to force every block's type (BASELINE config 1 emits a whole
+        file as ONE fixed-Huffman block: force_btype=1 merges the shard into
+        a single block since fixed blocks carry no tree cost).
 
     Returns dict: words u32[OW], total_bits i32, plus per-block stats.
     """
@@ -206,7 +210,12 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     d_eb_pos = jnp.where(is_match, dist_extra[dcode], 0)
 
     # -------------------------------------------------------- block planning
-    if adaptive_blocks and NB > 1:
+    if force_btype == C.BTYPE_FIXED and NB > 1:
+        # fixed blocks carry no tree description: one block for the shard
+        split = jnp.zeros((NB,), jnp.bool_).at[0].set(True)
+    elif force_btype == C.BTYPE_STORED:
+        split = jnp.ones((NB,), jnp.bool_)   # LEN is 16-bit: one per tile
+    elif adaptive_blocks and NB > 1:
         from ..core.cost import block_plan
         mk_ll = jnp.where(chosen, micro_of_pos * C.NUM_LITLEN + ll_sym_pos,
                           NB * C.NUM_LITLEN)
@@ -345,14 +354,15 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     fix_cost = (3 + jnp.sum(ll_freq * fll[None, :], axis=1) + ll_extra_tot
                 + jnp.sum(d_freq * fdl[None, :], axis=1) + d_extra_tot)
 
-    blen = jnp.clip(jnp.minimum(end_pos_b, valid_len) - start_pos_b,
-                    0, max_merge * BLOCK)
+    blen = jnp.clip(jnp.minimum(end_pos_b, valid_len) - start_pos_b, 0, S)
     sto_cost = 3 + 7 + 32 + 8 * blen
     # stored blocks are emitted single-tile only (LEN field is 16-bit)
     sto_cost = jnp.where(n_micros_b == 1, sto_cost, jnp.int32(1 << 30))
 
     costs = jnp.stack([sto_cost, fix_cost, dyn_cost], axis=1)
     btype = jnp.argmin(costs, axis=1).astype(jnp.int32)  # 0/1/2 == RFC BTYPE
+    if force_btype is not None:
+        btype = jnp.full_like(btype, force_btype)
 
     # Effective per-block code tables for token emission.
     use_dyn = (btype == C.BTYPE_DYNAMIC)[:, None]
@@ -507,12 +517,13 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("num_candidates", "lazy",
-                                             "adaptive_blocks", "max_merge"))
+                                             "adaptive_blocks", "max_merge",
+                                             "force_btype"))
 def encode_shard_jit(data, valid_len, final, num_candidates: int = 16,
                      lazy: bool = True, adaptive_blocks: bool = True,
-                     max_merge: int = 8):
+                     max_merge: int = 8, force_btype: int | None = None):
     return encode_shard(data, valid_len, final, num_candidates, lazy,
-                        adaptive_blocks, max_merge)
+                        adaptive_blocks, max_merge, force_btype)
 
 
 def deflate_compress_bytes(raw: bytes, shard_size: int = 1 << 20,

@@ -87,7 +87,8 @@ class DeflateCodec:
             r = encode_shard_jit(jnp.asarray(buf), jnp.int32(vl),
                                  jnp.asarray(s == nsh - 1),
                                  num_candidates=cfg.num_candidates,
-                                 lazy=cfg.lazy)
+                                 lazy=cfg.lazy,
+                                 force_btype=cfg.force_btype)
             tb = int(r["total_bits"])
             parts.append(bits_mod.words_to_bytes(np.asarray(r["words"]), tb))
             bt = np.asarray(r["btype"])

@@ -24,6 +24,8 @@ class CodecConfig:
     lazy: bool = True
     # container: "raw" | "zlib" | "gzip"
     container: str = "zlib"
+    # block type: "auto" (cost-based selection) | "stored" | "fixed" | "dynamic"
+    block_type: str = "auto"
     # verify checksums on decode
     verify_checksums: bool = True
 
@@ -34,6 +36,14 @@ class CodecConfig:
             raise ValueError(f"unknown container {self.container!r}")
         if not 1 <= self.num_candidates <= 64:
             raise ValueError("num_candidates must be in [1, 64]")
+        if self.block_type not in ("auto", "stored", "fixed", "dynamic"):
+            raise ValueError(f"unknown block_type {self.block_type!r}")
+
+
+    @property
+    def force_btype(self):
+        return {"auto": None, "stored": 0, "fixed": 1,
+                "dynamic": 2}[self.block_type]
 
 
 DEFAULT_CONFIG = CodecConfig()

@@ -83,3 +83,44 @@ def test_determinism():
     raw = open("/root/reference/docs/rfc1951.txt", "rb").read()
     assert deflate_compress_bytes(raw, shard_size=SHARD) == \
         deflate_compress_bytes(raw, shard_size=SHARD)
+
+
+def test_baseline_config1_single_fixed_block():
+    """BASELINE.json config 1: round-trip docs/rfc1951.txt as ONE
+    fixed-Huffman (type-1) block."""
+    from deflate_compression_tpu.models.codec import DeflateCodec
+    from deflate_compression_tpu.utils.config import CodecConfig
+    from deflate_compression_tpu.decode.index import build_index
+
+    raw = open("/root/reference/docs/rfc1951.txt", "rb").read()
+    codec = DeflateCodec(CodecConfig(shard_size=65536, block_type="fixed",
+                                     container="raw"))
+    comp = codec.compress(raw)
+    assert zlib.decompress(comp, wbits=-15) == raw
+    got, _ = inflate_raw(comp)
+    assert got == raw
+    idx = build_index(comp)
+    assert idx.n_blocks == 1
+    assert idx.btype[0] == 1                 # fixed
+
+
+def test_forced_stored_blocks():
+    from deflate_compression_tpu.models.codec import DeflateCodec
+    from deflate_compression_tpu.utils.config import CodecConfig
+    raw = b"stored please " * 3000
+    codec = DeflateCodec(CodecConfig(shard_size=65536, block_type="stored",
+                                     container="raw"))
+    comp = codec.compress(raw)
+    assert zlib.decompress(comp, wbits=-15) == raw
+    assert len(comp) > len(raw)              # stored never compresses
+
+
+def test_forced_dynamic_blocks():
+    from deflate_compression_tpu.models.codec import DeflateCodec
+    from deflate_compression_tpu.utils.config import CodecConfig
+    raw = np.random.default_rng(0).integers(0, 256, 70000,
+                                            dtype=np.uint8).tobytes()
+    codec = DeflateCodec(CodecConfig(shard_size=65536, block_type="dynamic",
+                                     container="raw"))
+    comp = codec.compress(raw)
+    assert zlib.decompress(comp, wbits=-15) == raw
