@@ -41,6 +41,12 @@ def build_corpus(total_bytes: int) -> bytes:
 
 def main():
     import jax
+    try:  # persistent compile cache: repeat bench runs skip the ~60s compile
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from deflate_compression_tpu.core import bits as bits_mod
     from deflate_compression_tpu.format.deflate import encode_shard
