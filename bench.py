@@ -39,6 +39,22 @@ def build_corpus(total_bytes: int) -> bytes:
     return b"".join(parts)[:total_bytes]
 
 
+def _alarm_guard(seconds):
+    """context helper: raise TimeoutError if the block exceeds `seconds`."""
+    import signal
+
+    class _G:
+        def __enter__(self):
+            signal.signal(signal.SIGALRM,
+                          lambda s, f: (_ for _ in ()).throw(TimeoutError()))
+            signal.alarm(seconds)
+
+        def __exit__(self, *a):
+            signal.alarm(0)
+            return False
+    return _G()
+
+
 def main():
     import jax
     try:  # persistent compile cache: repeat bench runs skip the ~60s compile
@@ -82,8 +98,13 @@ def main():
     dbatch = jax.device_put(jnp.asarray(shards), dev)
     jax.block_until_ready(dbatch)
     # force true materialization through the tunnel (block_until_ready alone
-    # does not guarantee the bytes arrived): round-trip a reduction
-    _ = int(np.asarray(jnp.sum(dbatch.astype(jnp.uint32))))
+    # does not guarantee the bytes arrived): round-trip a reduction. The
+    # tunnel occasionally wedges; don't let that kill the whole bench.
+    try:
+        with _alarm_guard(240):
+            _ = int(np.asarray(jnp.sum(dbatch.astype(jnp.uint32))))
+    except TimeoutError:
+        print("# materialize round-trip wedged; continuing", file=sys.stderr)
     print(f"# upload+materialize {n >> 20} MB: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
@@ -95,12 +116,34 @@ def main():
         jax.ShapeDtypeStruct((), jnp.uint8)).compile()
     print(f"# AOT compile: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    t0 = time.perf_counter()
-    bits, fp = ex(dbatch, jnp.uint8(shards[0, 0]))
-    _ = int(np.asarray(fp).sum())            # full sync via scalar fetch
-    best = time.perf_counter() - t0
-    bits_h = np.asarray(bits)                # keep the good result
-    print(f"# first timed execution: {best:.2f}s", file=sys.stderr)
+    best = None
+    bits_h = None
+    for attempt in range(3):
+        try:
+            with _alarm_guard(150):
+                t0 = time.perf_counter()
+                bits, fp = ex(dbatch, jnp.uint8(attempt * 31 + shards[0, 0]))
+                _ = int(np.asarray(fp).sum())    # full sync via scalar fetch
+                best = time.perf_counter() - t0
+                bits_h = np.asarray(bits)        # keep the good result
+            print(f"# timed execution (attempt {attempt}): {best:.2f}s",
+                  file=sys.stderr)
+            break
+        except TimeoutError:
+            print(f"# execution attempt {attempt} wedged; re-uploading",
+                  file=sys.stderr)
+            try:
+                with _alarm_guard(60):
+                    dbatch = jax.device_put(jnp.asarray(shards), dev)
+                    jax.block_until_ready(dbatch)
+            except TimeoutError:
+                pass
+    if best is None:
+        # tunnel unusable this session: report a measurement failure marker
+        print("# all executions wedged — reporting 0", file=sys.stderr)
+        print(json.dumps({"metric": "encode_throughput", "value": 0.0,
+                          "unit": "MB/s", "vs_baseline": 0.0}))
+        return
 
     # optional second rep (re-execution can wedge through the axon tunnel;
     # guard with an alarm and keep the first measurement if it does)
