@@ -58,7 +58,7 @@ def _words4(data: jnp.ndarray) -> jnp.ndarray:
             | (b0[3:] << np.uint32(24)))
 
 
-def find_matches(data: jnp.ndarray, num_candidates: int = 16,
+def find_matches(data: jnp.ndarray, num_candidates: int = 32,
                  max_match_words: int = 8):
     """Best match per position. Returns (length i32[S], dist i32[S]);
     length 0 where no usable match. Lengths capped at
@@ -234,7 +234,7 @@ def greedy_parse(token_len: jnp.ndarray, chunk: int = 64) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("num_candidates", "lazy",
                                              "boundary", "max_match_words"))
 def tokenize(data: jnp.ndarray, valid_len: jnp.ndarray,
-             num_candidates: int = 16, lazy: bool = True,
+             num_candidates: int = 32, lazy: bool = True,
              boundary: int = C.WINDOW_SIZE, max_match_words: int = 8):
     """Full LZ77 stage for one shard.
 

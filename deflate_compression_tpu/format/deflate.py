@@ -148,7 +148,7 @@ def _tree_rle(comb: jnp.ndarray, total: jnp.ndarray):
 
 
 def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
-                 final: jnp.ndarray, num_candidates: int = 16,
+                 final: jnp.ndarray, num_candidates: int = 32,
                  lazy: bool = True, adaptive_blocks: bool = True,
                  max_merge: int = 8, force_btype: int | None = None):
     """Encode one shard into a DEFLATE bitstream (jit-friendly, fixed shape).
@@ -519,7 +519,7 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("num_candidates", "lazy",
                                              "adaptive_blocks", "max_merge",
                                              "force_btype"))
-def encode_shard_jit(data, valid_len, final, num_candidates: int = 16,
+def encode_shard_jit(data, valid_len, final, num_candidates: int = 32,
                      lazy: bool = True, adaptive_blocks: bool = True,
                      max_merge: int = 8, force_btype: int | None = None):
     return encode_shard(data, valid_len, final, num_candidates, lazy,
@@ -527,7 +527,7 @@ def encode_shard_jit(data, valid_len, final, num_candidates: int = 16,
 
 
 def deflate_compress_bytes(raw: bytes, shard_size: int = 1 << 20,
-                           num_candidates: int = 16, lazy: bool = True) -> bytes:
+                           num_candidates: int = 32, lazy: bool = True) -> bytes:
     """Host convenience: raw bytes -> complete DEFLATE stream (single
     process; shards sequentially through the jitted kernel)."""
     if len(raw) == 0:

@@ -53,7 +53,7 @@ def _encode_one(data_row, valid_len, final, num_candidates, lazy):
 @functools.partial(jax.jit, static_argnames=("mesh", "num_candidates", "lazy"))
 def encode_sharded(data: jnp.ndarray, valid_lens: jnp.ndarray,
                    finals: jnp.ndarray, mesh: Mesh,
-                   num_candidates: int = 16, lazy: bool = True):
+                   num_candidates: int = 32, lazy: bool = True):
     """Encode D shards over the mesh and assemble the container on device.
 
     Args:
@@ -111,7 +111,7 @@ def encode_sharded(data: jnp.ndarray, valid_lens: jnp.ndarray,
 
 def compress_distributed(raw: bytes, mesh: Mesh | None = None,
                          shard_size: int = 1 << 20,
-                         num_candidates: int = 16, lazy: bool = True,
+                         num_candidates: int = 32, lazy: bool = True,
                          container: str = "zlib", max_retries: int = 2,
                          _fault_hook=None) -> bytes:
     """Host driver: shard `raw` across the mesh, encode in waves of D shards,

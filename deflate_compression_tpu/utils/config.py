@@ -19,7 +19,7 @@ class CodecConfig:
     # shard = unit of jit/device-parallel work; must be a multiple of 32768
     shard_size: int = 1 << 20
     # LZ77 search effort: nearest same-hash candidates scored per position
-    num_candidates: int = 16
+    num_candidates: int = 32
     # one-step lazy matching (zlib-style)
     lazy: bool = True
     # container: "raw" | "zlib" | "gzip"
