@@ -409,7 +409,6 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     ctok_block0 = ctok[2 * tok_start]
 
     # ----------------------------------------------------------- header items
-    ll_eb_cl = None  # naming guard
     hdr_vals = jnp.zeros((NB, _H_ITEMS), jnp.uint32)
     hdr_nbs = jnp.zeros((NB, _H_ITEMS), jnp.int32)
 
