@@ -11,13 +11,13 @@ scarce resource (~100M elem/s) while sorts, shifts and elementwise vector
 ops run near bandwidth:
 
   1. hash every 3-byte prefix (elementwise);
-  2. ONE stable multi-operand sort by hash carrying (position, 16 bytes of
-     window payload as 4 u32 words). In sorted order a position's same-hash
-     predecessors are exactly its nearest previous chain entries, so
-     candidate generation AND 16-byte scoring are pure shifted-slice
-     compares — zero gathers;
-  3. matches longer than 16 bytes extend by 4-byte-stride gathers up to a
-     configurable cap (the only gather traffic, linear in the cap);
+  2. ONE stable argsort by hash; positions AND a 36-byte window payload
+     (9 u32 words, one (S,9) row gather) follow the permutation. In sorted
+     order a position's same-hash predecessors are exactly its nearest
+     previous chain entries, so candidate generation and byte-exact scoring
+     up to 35 bytes are pure shifted-slice compares — zero scalar gathers;
+  3. matches longer than the payload extend by 4-byte-stride gathers up to a
+     configurable cap (gather traffic only when the cap exceeds 8 words);
   4. constant runs (period 1) are detected exactly with two scans, so long
      zero/fill runs stay optimal regardless of the cap;
   5. one-step lazy heuristic (zlib-style), then greedy parse selection via
@@ -42,7 +42,11 @@ from ..format import constants as C
 
 HASH_BITS = 16
 HASH_MUL = np.uint32(2654435761)   # Knuth multiplicative hash
-PAYLOAD_WORDS = 4                  # 16 bytes of window carried through sort
+# zlib deflate.c's TOO_FAR (drop length-3 matches farther than 4096) helps
+# text a little but costs pixel/periodic data a lot (len-3 far matches are
+# how RGB triples compress); measured net-negative here, so disabled.
+TOO_FAR = 0
+LAZY2 = True        # two-step lazy look-ahead (see tokenize): −0.3% on text
 
 
 def _shift_down(x: jnp.ndarray, k: int, fill) -> jnp.ndarray:
@@ -58,11 +62,25 @@ def _words4(data: jnp.ndarray) -> jnp.ndarray:
             | (b0[3:] << np.uint32(24)))
 
 
+def _tail_bytes(diff):
+    """Leading equal bytes (0-3) of a u32 word diff (LSB-first)."""
+    return jnp.where((diff & np.uint32(0xFF)) != 0, 0,
+                     jnp.where((diff & np.uint32(0xFFFF)) != 0, 1,
+                               jnp.where((diff & np.uint32(0xFFFFFF)) != 0,
+                                         2, 3)))
+
+
 def find_matches(data: jnp.ndarray, num_candidates: int = 32,
                  max_match_words: int = 8):
     """Best match per position. Returns (length i32[S], dist i32[S]);
     length 0 where no usable match. Lengths capped at
-    min(4 * max_match_words + 3, 258)."""
+    min(4 * max_match_words + 3, 258).
+
+    For caps up to 8 words the whole score is computed from payload carried
+    through the sort: ONE (S, PW+1)-row gather replaces the per-word
+    permutation gathers plus the extension and tail gathers (measured: row
+    gather ~3 ms vs ~28 ms of scalar gathers per 256 KB shard). Caps > 8
+    words additionally use the strided-gather extension path."""
     S = data.shape[0]
     pos = jnp.arange(S, dtype=jnp.int32)
     d = data.astype(jnp.uint32)
@@ -73,83 +91,74 @@ def find_matches(data: jnp.ndarray, num_candidates: int = 32,
     h = ((tri * HASH_MUL) >> np.uint32(32 - HASH_BITS)).astype(jnp.uint32)
 
     w4 = _words4(data)
-    # 16-byte payload: words at offsets 0,4,8,12 (elementwise slices)
-    pay = [w4]
-    for t in range(1, PAYLOAD_WORDS):
-        pay.append(jnp.concatenate([w4[4 * t:],
-                                    jnp.zeros((4 * t,), jnp.uint32)]))
+    PW = min(max_match_words, 8)       # payload words scored through the sort
+    # payload table P[i, t] = w4[i + 4t], t = 0..PW (last column scores the
+    # tail byte run past the last full word) — elementwise slices
+    cols = [w4]
+    for t in range(1, PW + 1):
+        cols.append(jnp.concatenate([w4[4 * t:],
+                                     jnp.zeros((4 * t,), jnp.uint32)]))
+    P = jnp.stack(cols, axis=1)                       # (S, PW+1)
 
-    # one stable argsort; payloads follow via permutation gathers (cheaper
-    # than a multi-operand sort on TPU)
     order = jnp.argsort(h, stable=True)
     hs = h[order]
     ps = order.astype(jnp.int32)        # == pos[order]
-    pw = [p[order] for p in pay]
+    pr = P[order]                       # ONE row gather
+    pw = [pr[:, t] for t in range(PW + 1)]
 
-    def _tail_bytes(diff):
-        return jnp.where((diff & np.uint32(0xFF)) != 0, 0,
-                         jnp.where((diff & np.uint32(0xFFFF)) != 0, 1,
-                                   jnp.where((diff & np.uint32(0xFFFFFF)) != 0,
-                                             2, 3)))
-
-    best_score = jnp.full((S,), -1, jnp.int32)
+    best_bytes = jnp.full((S,), -1, jnp.int32)
     best_cand = jnp.full((S,), -1, jnp.int32)
     for k in range(1, num_candidates + 1):
         same = hs == _shift_down(hs, k, np.uint32(0xFFFFFFFF))
         cnd = _shift_down(ps, k, -1)
         ok = same & (cnd >= 0) & (ps - cnd <= C.WINDOW_SIZE)
-        # byte-granular leading-equality over the 16-byte payload: word
-        # equality count + first-diff-byte within the first unequal word —
-        # all from sorted payload slices, no gathers
+        # byte-granular leading-equality over the payload: word equality
+        # count + first-diff-byte — all from sorted payload slices, no gathers
         run = jnp.ones((S,), jnp.int32)
         nw = jnp.zeros((S,), jnp.int32)
         first_diff = jnp.zeros((S,), jnp.uint32)
-        for t in range(PAYLOAD_WORDS):
+        for t in range(PW):
             diff = pw[t] ^ _shift_down(pw[t], k, np.uint32(0))
             hit = (run > 0) & (diff != 0)
             first_diff = jnp.where(hit, diff, first_diff)
             eq = (diff == 0).astype(jnp.int32)
             nw = nw + run * eq
             run = run * eq
-        score = 4 * nw + jnp.where(run > 0, 0, _tail_bytes(first_diff))
-        score = jnp.where(ok, score, -1)
-        upd = score > best_score          # strict: earlier k (nearer) wins ties
-        best_score = jnp.where(upd, score, best_score)
+        dlast = pw[PW] ^ _shift_down(pw[PW], k, np.uint32(0))
+        first_diff = jnp.where(run > 0, dlast, first_diff)
+        nbytes = 4 * nw + _tail_bytes(first_diff)     # exact up to 4*PW+3
+        nbytes = jnp.where(ok, nbytes, -1)
+        upd = nbytes > best_bytes         # strict: earlier k (nearer) wins ties
+        best_bytes = jnp.where(upd, nbytes, best_bytes)
         best_cand = jnp.where(upd, cnd, best_cand)
-    best_score = best_score // 4          # back to whole words for extension
 
     # back to position order
-    score_p = jnp.zeros((S,), jnp.int32).at[ps].set(best_score)
+    blen_p = jnp.zeros((S,), jnp.int32).at[ps].set(best_bytes)
     cand_p = jnp.full((S,), -1, jnp.int32).at[ps].set(best_cand)
     valid = cand_p >= 0
     cand_c = jnp.maximum(cand_p, 0)
 
-    if max_match_words > PAYLOAD_WORDS:
-        # extension beyond 16 bytes: 4-byte-stride gathers (the only gather
-        # traffic; width = cap - payload)
-        EXT = max_match_words - PAYLOAD_WORDS
-        t4 = 4 * PAYLOAD_WORDS + 4 * jnp.arange(EXT, dtype=jnp.int32)
+    if max_match_words > PW:
+        # extension beyond the payload: 4-byte-stride gathers where the whole
+        # payload matched (the only gather traffic; width = cap - payload)
+        EXT = max_match_words - PW
+        t4 = 4 * PW + 4 * jnp.arange(EXT, dtype=jnp.int32)
         src_i = jnp.clip(cand_c[:, None] + t4[None, :], 0, S - 1)
         dst_i = jnp.clip(pos[:, None] + t4[None, :], 0, S - 1)
         eq_ext = jnp.take(w4, src_i, axis=0) == jnp.take(w4, dst_i, axis=0)
         ext_words = jnp.sum(jnp.cumprod(eq_ext.astype(jnp.int32), axis=-1),
                             axis=-1)
-        nwords = jnp.where(score_p < PAYLOAD_WORDS, score_p,
-                           PAYLOAD_WORDS + ext_words)
+        full_pay = blen_p >= 4 * PW
+        nwords = jnp.minimum(PW + ext_words, max_match_words)
+        # tail after the extended run (2 gathers, extension path only)
+        tw = jnp.clip(4 * nwords, 0, S - 1)
+        sx = w4[jnp.clip(cand_c + tw, 0, S - 1)]
+        dx = w4[jnp.clip(pos + tw, 0, S - 1)]
+        ext_len = 4 * nwords + _tail_bytes(sx ^ dx)
+        length = jnp.where(full_pay, ext_len, blen_p)
     else:
-        nwords = score_p
-    nwords = jnp.minimum(nwords, max_match_words)
-
-    # tail: first differing byte in the word after the equal run
-    tw = jnp.clip(4 * nwords, 0, S - 1)
-    sx = w4[jnp.clip(cand_c + tw, 0, S - 1)]
-    dx = w4[jnp.clip(pos + tw, 0, S - 1)]
-    diff = sx ^ dx
-    tail = jnp.where((diff & np.uint32(0xFF)) != 0, 0,
-                     jnp.where((diff & np.uint32(0xFFFF)) != 0, 1,
-                               jnp.where((diff & np.uint32(0xFFFFFF)) != 0,
-                                         2, 3)))
-    length = jnp.minimum(4 * nwords + tail, C.MAX_MATCH)
+        length = blen_p
+    length = jnp.minimum(length, C.MAX_MATCH)
     length = jnp.minimum(length, S - pos)   # padding equality is fake
     length = jnp.where(valid, length, 0)
     length = jnp.where(length >= C.MIN_MATCH, length, 0)
@@ -276,13 +285,24 @@ def tokenize(data: jnp.ndarray, valid_len: jnp.ndarray,
     if boundary:
         length = jnp.minimum(length, boundary - (pos % boundary))
     length = jnp.where(length >= C.MIN_MATCH, length, 0)
-    dist = jnp.where(length > 0, dist, 0)
+    # zlib's TOO_FAR rule (deflate.c): a length-3 match beyond distance
+    # TOO_FAR usually costs more bits than 3 literals — drop it.
+    if TOO_FAR:
+        length = jnp.where((length == 3) & (dist > TOO_FAR), 0, length)
+        length = jnp.where(length >= C.MIN_MATCH, length, 0)
+        dist = jnp.where(length > 0, dist, 0)
 
     if lazy:
         # One-step lazy: defer to i+1 if it has a strictly longer match
         # (zlib-style lazy evaluation; reference's greedy has no deferral).
+        # Two-step look-ahead: also defer if i+2 has a match long enough to
+        # pay for the extra literal (covers the same bytes plus more).
         nxt_len = jnp.concatenate([length[1:], jnp.zeros((1,), jnp.int32)])
         demote = (length > 0) & (nxt_len > length)
+        if LAZY2:
+            nxt2_len = jnp.concatenate([length[2:],
+                                        jnp.zeros((2,), jnp.int32)])
+            demote = demote | ((length > 0) & (nxt2_len > length + 1))
         length = jnp.where(demote, 0, length)
         dist = jnp.where(demote, 0, dist)
 

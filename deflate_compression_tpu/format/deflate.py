@@ -210,6 +210,18 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     d_eb_pos = jnp.where(is_match, dist_extra[dcode], 0)
 
     # -------------------------------------------------------- block planning
+    # Per-tile histograms at position granularity: sufficient statistics for
+    # the split DP AND (segment-summed) for the per-block Huffman trees, so
+    # the token-slot arrays never need re-histogramming.
+    mk_ll = jnp.where(chosen, micro_of_pos * C.NUM_LITLEN + ll_sym_pos,
+                      NB * C.NUM_LITLEN)
+    ll_freq_micro = huffman.histogram(
+        mk_ll, NB * C.NUM_LITLEN).reshape(NB, C.NUM_LITLEN)
+    mk_d = jnp.where(is_match, micro_of_pos * C.NUM_DIST + d_sym_pos,
+                     NB * C.NUM_DIST)
+    d_freq_micro = huffman.histogram(
+        mk_d, NB * C.NUM_DIST).reshape(NB, C.NUM_DIST)
+
     if force_btype == C.BTYPE_FIXED and NB > 1:
         # fixed blocks carry no tree description: one block for the shard
         split = jnp.zeros((NB,), jnp.bool_).at[0].set(True)
@@ -217,14 +229,6 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
         split = jnp.ones((NB,), jnp.bool_)   # LEN is 16-bit: one per tile
     elif adaptive_blocks and NB > 1:
         from ..core.cost import block_plan
-        mk_ll = jnp.where(chosen, micro_of_pos * C.NUM_LITLEN + ll_sym_pos,
-                          NB * C.NUM_LITLEN)
-        ll_freq_micro = huffman.histogram(
-            mk_ll, NB * C.NUM_LITLEN).reshape(NB, C.NUM_LITLEN)
-        mk_d = jnp.where(is_match, micro_of_pos * C.NUM_DIST + d_sym_pos,
-                         NB * C.NUM_DIST)
-        d_freq_micro = huffman.histogram(
-            mk_d, NB * C.NUM_DIST).reshape(NB, C.NUM_DIST)
         split, _ = block_plan(ll_freq_micro, d_freq_micro, LB_micro + 1,
                               max_merge=max_merge)
         split = split.at[0].set(True)
@@ -284,12 +288,14 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     tok_blk = (packB >> 22) & 0x1FF
 
     # ------------------------------------------------------- histograms/trees
-    ll_key = tok_blk * C.NUM_LITLEN + ll_sym
-    ll_freq = huffman.histogram(ll_key, NB * C.NUM_LITLEN,
-                                mask=tok_valid).reshape(NB, C.NUM_LITLEN)
-    d_key = tok_blk * C.NUM_DIST + d_sym
-    d_freq = huffman.histogram(d_key, NB * C.NUM_DIST,
-                               mask=tok_valid & tok_is_match).reshape(NB, C.NUM_DIST)
+    # Per-block histograms = segment-sum of the tile histograms (NB-row
+    # scatter, ~2K elements) + one EOB per emitted block — no T-sized
+    # re-histogramming of the token slots.
+    ll_freq = jnp.zeros((NB, C.NUM_LITLEN), jnp.int32).at[
+        blk_id_micro].add(ll_freq_micro)
+    ll_freq = ll_freq.at[:, C.EOB].add(b_emitted.astype(jnp.int32))
+    d_freq = jnp.zeros((NB, C.NUM_DIST), jnp.int32).at[
+        blk_id_micro].add(d_freq_micro)
 
     ll_freq_t = _force_two_codes(ll_freq)
     d_freq_t = _force_two_codes(d_freq)
@@ -447,13 +453,13 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     hdr_vals = hdr_vals.at[:, 654].set(lennlen)
     hdr_nbs = hdr_nbs.at[:, 654].set(jnp.where(b_emitted & is_sto, 32, 0))
 
-    # payload bytes gathered from each block's (possibly merged) start
-    pay_idx = (start_pos_b[:, None, None]
-               + 4 * jnp.arange(_PAYLOAD_ITEMS, dtype=jnp.int32)[None, :, None]
-               + jnp.arange(4, dtype=jnp.int32)[None, None, :])
-    quads = jnp.take(data, jnp.clip(pay_idx, 0, S - 1), axis=0).astype(jnp.uint32)
-    pay_val = (quads[..., 0] | (quads[..., 1] << 8)
-               | (quads[..., 2] << 16) | (quads[..., 3] << 24))
+    # payload words per 32 KB tile (elementwise reshape), indexed by each
+    # block's start tile — stored blocks are always single-tile (the cost
+    # table bars merged stored blocks), so one NB-row gather suffices
+    q = data.reshape(S // 4, 4).astype(jnp.uint32)
+    tile_words = (q[:, 0] | (q[:, 1] << 8) | (q[:, 2] << 16)
+                  | (q[:, 3] << 24)).reshape(NB, _PAYLOAD_ITEMS)
+    pay_val = tile_words[start_micro_c]
     p4 = jnp.arange(_PAYLOAD_ITEMS, dtype=jnp.int32)[None, :] * 4
     pay_nb = 8 * jnp.clip(blen[:, None] - p4, 0, 4)
     pay_nb = jnp.where((b_emitted & is_sto)[:, None], pay_nb, 0)
