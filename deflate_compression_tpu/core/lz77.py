@@ -106,31 +106,70 @@ def find_matches(data: jnp.ndarray, num_candidates: int = 32,
     pr = P[order]                       # ONE row gather
     pw = [pr[:, t] for t in range(PW + 1)]
 
-    best_bytes = jnp.full((S,), -1, jnp.int32)
-    best_cand = jnp.full((S,), -1, jnp.int32)
-    for k in range(1, num_candidates + 1):
+    def score_k(k, words):
+        """Byte-exact leading-match length vs the k-th sorted predecessor,
+        scored over the first `words` payload words (+1 tail word)."""
         same = hs == _shift_down(hs, k, np.uint32(0xFFFFFFFF))
         cnd = _shift_down(ps, k, -1)
         ok = same & (cnd >= 0) & (ps - cnd <= C.WINDOW_SIZE)
-        # byte-granular leading-equality over the payload: word equality
-        # count + first-diff-byte — all from sorted payload slices, no gathers
         run = jnp.ones((S,), jnp.int32)
         nw = jnp.zeros((S,), jnp.int32)
         first_diff = jnp.zeros((S,), jnp.uint32)
-        for t in range(PW):
+        for t in range(words):
             diff = pw[t] ^ _shift_down(pw[t], k, np.uint32(0))
             hit = (run > 0) & (diff != 0)
             first_diff = jnp.where(hit, diff, first_diff)
             eq = (diff == 0).astype(jnp.int32)
             nw = nw + run * eq
             run = run * eq
-        dlast = pw[PW] ^ _shift_down(pw[PW], k, np.uint32(0))
+        dlast = pw[words] ^ _shift_down(pw[words], k, np.uint32(0))
         first_diff = jnp.where(run > 0, dlast, first_diff)
-        nbytes = 4 * nw + _tail_bytes(first_diff)     # exact up to 4*PW+3
-        nbytes = jnp.where(ok, nbytes, -1)
+        nbytes = 4 * nw + _tail_bytes(first_diff)     # exact up to 4*words+3
+        return jnp.where(ok, nbytes, -1), cnd
+
+    # Tiered scoring (the candidate loop is elementwise-bandwidth-bound):
+    # the K_EXACT nearest candidates get the full payload; farther ones get
+    # a 2-word (11-byte-exact) preselect, and the far winner is rescored
+    # exactly with ONE row gather. Selection quality loss is only among far
+    # candidates that tie beyond 11 leading bytes.
+    K_EXACT = min(num_candidates, 8)
+    FAR_WORDS = min(2, PW - 1) if PW >= 2 else 0
+    best_bytes = jnp.full((S,), -1, jnp.int32)
+    best_cand = jnp.full((S,), -1, jnp.int32)
+    for k in range(1, K_EXACT + 1):
+        nbytes, cnd = score_k(k, PW)
         upd = nbytes > best_bytes         # strict: earlier k (nearer) wins ties
         best_bytes = jnp.where(upd, nbytes, best_bytes)
         best_cand = jnp.where(upd, cnd, best_cand)
+
+    if num_candidates > K_EXACT:
+        far_bytes = jnp.full((S,), -1, jnp.int32)
+        far_cand = jnp.full((S,), -1, jnp.int32)
+        for k in range(K_EXACT + 1, num_candidates + 1):
+            nbytes, cnd = score_k(k, FAR_WORDS)
+            upd = nbytes > far_bytes
+            far_bytes = jnp.where(upd, nbytes, far_bytes)
+            far_cand = jnp.where(upd, cnd, far_cand)
+        # exact rescore of the far winner: one row gather + 9-word compare
+        fc = jnp.maximum(far_cand, 0)
+        fr = P[fc]                                     # (S, PW+1)
+        run = jnp.ones((S,), jnp.int32)
+        nw = jnp.zeros((S,), jnp.int32)
+        first_diff = jnp.zeros((S,), jnp.uint32)
+        for t in range(PW):
+            diff = pr[:, t] ^ fr[:, t]
+            hit = (run > 0) & (diff != 0)
+            first_diff = jnp.where(hit, diff, first_diff)
+            eq = (diff == 0).astype(jnp.int32)
+            nw = nw + run * eq
+            run = run * eq
+        dlast = pr[:, PW] ^ fr[:, PW]
+        first_diff = jnp.where(run > 0, dlast, first_diff)
+        far_exact = 4 * nw + _tail_bytes(first_diff)
+        far_exact = jnp.where(far_cand >= 0, far_exact, -1)
+        upd = far_exact > best_bytes      # ties keep the nearer (near tier)
+        best_bytes = jnp.where(upd, far_exact, best_bytes)
+        best_cand = jnp.where(upd, far_cand, best_cand)
 
     # back to position order
     blen_p = jnp.zeros((S,), jnp.int32).at[ps].set(best_bytes)
@@ -190,19 +229,24 @@ def greedy_parse_flat(token_len: jnp.ndarray) -> jnp.ndarray:
     return chosen[:S]
 
 
-def greedy_parse(token_len: jnp.ndarray, chunk: int = 64) -> jnp.ndarray:
+def greedy_parse(token_len: jnp.ndarray, chunk: int = 64,
+                 scan_batch: int = 8) -> jnp.ndarray:
     """Greedy left-to-right parse: mark the positions where tokens start.
 
     token_len[i] >= 1 is the number of bytes a token starting at i consumes;
     the chosen set is the orbit of 0 under next[i] = i + token_len[i].
 
     Chunked resolution (random accesses are the TPU bottleneck): within
-    64-position chunks, exit pointers resolve in log2(64) doubling rounds;
-    a cheap scan threads entries across chunks; chosen positions then mark
-    in log2(64) more rounds — ~2x fewer scatter/gathers than flat doubling.
+    `chunk`-position chunks, exit pointers resolve in log2(chunk) doubling
+    rounds (phase A, the only full-S gathers); a cheap scan threads entries
+    across chunks, `scan_batch` chunks per step (phase B); the within-chunk
+    walks from each entry are then marked by ONE lockstep scan of `chunk`
+    steps over all chunks simultaneously — per step a (nchunks,)-element
+    gather + scatter instead of full-S doubling rounds (phase C; measured
+    ~2 ms vs ~21 ms for the scatter-doubling variant per 256 KB shard).
     """
     S = token_len.shape[0]
-    if S % chunk or S <= chunk:
+    if S % chunk or S <= chunk or (S // chunk) % scan_batch:
         return greedy_parse_flat(token_len)
     nchunks = S // chunk
     pos = jnp.arange(S, dtype=jnp.int32)
@@ -215,29 +259,44 @@ def greedy_parse(token_len: jnp.ndarray, chunk: int = 64) -> jnp.ndarray:
         e_next = e[jnp.clip(e, 0, S - 1)]
         e = jnp.where(e >= end_i, e, e_next)
 
-    # phase B: thread entries across chunks (tiny scan, 1 gather per chunk)
-    def chunk_step(p, c):
-        start = c * chunk
-        inside = (p >= start) & (p < start + chunk)
-        entry = jnp.where(inside, p, -1)
-        p2 = jnp.where(inside, e[jnp.clip(p, 0, S - 1)], p)
-        return p2, entry
+    # phase B: thread entries across chunks (batched scan: `scan_batch`
+    # dependent 1-element hops per step — same data, fewer step overheads)
+    def chunk_batch_step(p, c0):
+        entries = []
+        for j in range(scan_batch):
+            c = c0 * scan_batch + j
+            start = c * chunk
+            inside = (p >= start) & (p < start + chunk)
+            entries.append(jnp.where(inside, p, -1))
+            p = jnp.where(inside, e[jnp.clip(p, 0, S - 1)], p)
+        return p, jnp.stack(entries)
 
     p0 = jnp.int32(0) + g[0] * 0       # data-tied zero (shard_map vma)
-    _, entries = jax.lax.scan(chunk_step, p0,
-                              jnp.arange(nchunks, dtype=jnp.int32))
+    _, entries = jax.lax.scan(chunk_batch_step, p0,
+                              jnp.arange(nchunks // scan_batch,
+                                         dtype=jnp.int32))
+    entries = entries.reshape(nchunks)
 
-    # phase C: mark the within-chunk walks from each entry
-    jump = jnp.concatenate([jnp.where(g < end_i, g, S),
-                            jnp.array([S], jnp.int32)])
-    chosen = jnp.zeros((S + 1,), jnp.bool_).at[
-        jnp.where(entries >= 0, entries, S)].set(True, mode="drop")
-    chosen = chosen | (jump < 0)       # tie to data (shard_map vma)
-    for _ in range(max(1, int(np.ceil(np.log2(chunk))))):
-        tgt = jnp.where(chosen, jump, S)
-        chosen = chosen.at[tgt].set(True)
-        jump = jump[jump]
-    return chosen[:S]
+    # phase C: walk all chunks from their entries in lockstep. Local jump
+    # table: within-chunk successor or `chunk` (parked) once past the end.
+    base = (jnp.arange(nchunks, dtype=jnp.int32) * chunk)[:, None]
+    g2 = g.reshape(nchunks, chunk)
+    loc = jnp.where(g2 < base + chunk, g2 - base, chunk)   # (nchunks, chunk)
+    locp = jnp.concatenate([loc, jnp.full((nchunks, 1), chunk, jnp.int32)],
+                           axis=1)
+    cur0 = jnp.where(entries >= 0,
+                     entries - base[:, 0], chunk)          # local entry
+
+    def walk_step(cur, _):
+        mark = cur                      # (nchunks,) position to mark (or chunk)
+        nxt = jnp.take_along_axis(locp, cur[:, None], axis=1)[:, 0]
+        return nxt, mark
+
+    _, marks = jax.lax.scan(walk_step, cur0, None, length=chunk)
+    # marks: (chunk, nchunks) local positions visited (chunk => none)
+    chosen2 = jnp.zeros((nchunks, chunk + 1), jnp.bool_)
+    chosen2 = chosen2.at[jnp.arange(nchunks)[None, :], marks].set(True)
+    return chosen2[:, :chunk].reshape(S)
 
 
 @functools.partial(jax.jit, static_argnames=("num_candidates", "lazy",
