@@ -122,6 +122,16 @@ def cmd_inspect(args) -> int:
         _FIXED_D_LUT, _read_symbol
     from .format import constants as C
     data = _read(args.input)
+    if args.bits:
+        # raw LSB-first bit dump, N bytes per line — the exact format of the
+        # reference's print_bits tool (util/src/print_bits.c:22-37), used to
+        # build its golden bit traces (png/pngtest.png.txt).
+        n = args.bits_per_line
+        for i in range(0, len(data), n):
+            line = " ".join(
+                format(b, "08b")[::-1] for b in data[i:i + n])
+            print(line)
+        return 0
     pos = 0
     if data[:2] == C.GZIP_MAGIC:
         from .format.containers import gzip_parse_header
@@ -215,13 +225,15 @@ def main(argv=None) -> int:
                                 description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 
+    from .utils.config import DEFAULT_CONFIG
     c = sub.add_parser("compress")
     c.add_argument("input")
     c.add_argument("-o", "--output", default="-")
-    c.add_argument("--container", default="zlib",
+    c.add_argument("--container", default=DEFAULT_CONFIG.container,
                    choices=["raw", "zlib", "gzip"])
-    c.add_argument("--shard-size", type=int, default=1 << 20)
-    c.add_argument("--candidates", type=int, default=4)
+    c.add_argument("--shard-size", type=int, default=DEFAULT_CONFIG.shard_size)
+    c.add_argument("--candidates", type=int,
+                   default=DEFAULT_CONFIG.num_candidates)
     c.add_argument("--greedy", action="store_true",
                    help="disable lazy matching")
     c.add_argument("--btype", default="auto",
@@ -244,6 +256,10 @@ def main(argv=None) -> int:
 
     i = sub.add_parser("inspect")
     i.add_argument("input")
+    i.add_argument("--bits", action="store_true",
+                   help="raw LSB-first bit dump (print_bits format)")
+    i.add_argument("--bits-per-line", type=int, default=8,
+                   help="bytes per line for --bits")
     i.set_defaults(fn=cmd_inspect)
 
     g = sub.add_parser("png")

@@ -126,15 +126,19 @@ def compress_file_resumable(src_path: str, dst_path: str,
         for s in range(state["next_shard"], n_shards):
             src.seek(s * shard_size)
             part = src.read(shard_size)
-            vl = max(1, len(part))
-            buf = np.zeros(shard_size, np.uint8)
-            buf[:len(part)] = np.frombuffer(part, np.uint8)
-            r = encode_shard_jit(jnp.asarray(buf), jnp.int32(vl),
-                                 jnp.asarray(s == n_shards - 1),
-                                 num_candidates=config.num_candidates,
-                                 lazy=config.lazy)
-            blob = bits_mod.words_to_bytes(np.asarray(r["words"]),
-                                           int(r["total_bits"]))
+            if len(part) == 0:
+                # 0-byte input (only possible when total == 0): one empty
+                # final stored block, same bytes as deflate_compress_bytes.
+                blob = b"\x01\x00\x00\xff\xff"
+            else:
+                buf = np.zeros(shard_size, np.uint8)
+                buf[:len(part)] = np.frombuffer(part, np.uint8)
+                r = encode_shard_jit(jnp.asarray(buf), jnp.int32(len(part)),
+                                     jnp.asarray(s == n_shards - 1),
+                                     num_candidates=config.num_candidates,
+                                     lazy=config.lazy)
+                blob = bits_mod.words_to_bytes(np.asarray(r["words"]),
+                                               int(r["total_bits"]))
             dst.write(blob)
             dst.flush()
             os.fsync(dst.fileno())

@@ -82,3 +82,14 @@ def test_manifest_roundtrip(tmp_path):
     assert cp.load()["x"] == 42
     cp.clear()
     assert cp.load() is None
+
+
+def test_empty_input(tmp_path):
+    """0-byte file: output must decode to b"" with a valid adler (VERDICT r1
+    weak #5: the phantom 0x00-byte bug)."""
+    src = tmp_path / "empty.bin"
+    src.write_bytes(b"")
+    dst = tmp_path / "empty.zz"
+    info = compress_file_resumable(str(src), str(dst), CFG)
+    assert info["input_bytes"] == 0
+    assert zlib.decompress(dst.read_bytes()) == b""

