@@ -20,6 +20,7 @@ import numpy as np
 
 __all__ = [
     "pack_items_to_words",
+    "pack_items64_to_words",
     "words_to_bytes",
     "reverse_bits",
     "BitReader",
@@ -88,6 +89,74 @@ def pack_items_to_words(values: jnp.ndarray,
     out = jnp.zeros((num_words,), dtype=jnp.uint32)
     out = out.at[word_lo].add(lo, mode="drop")
     out = out.at[word_hi].add(hi, mode="drop")
+    return out
+
+
+def pack_items64_to_words(lo: jnp.ndarray,
+                          hi: jnp.ndarray,
+                          nbits: jnp.ndarray,
+                          offsets: jnp.ndarray,
+                          num_words: int,
+                          windowed: bool = True) -> jnp.ndarray:
+    """Scatter up-to-64-bit items into a u32 word array (LSB-first).
+
+    Wider sibling of pack_items_to_words: each item is (hi << 32) | lo with
+    the low `nbits` (0..64) significant. An item spans at most 3 u32 words
+    ((31 + 64 - 1) >> 5 == 2 word crossings), so serialization is three
+    word-contribution streams. With `windowed=True` they land via ONE
+    windowed scatter-add (each update writes a 3-word window — one scatter
+    descriptor per item instead of three); otherwise via three flat
+    scatter-adds. Scatter-add == scatter-OR here because items occupy
+    disjoint bit ranges.
+    """
+    lo = lo.astype(jnp.uint32)
+    hi = hi.astype(jnp.uint32)
+    nbits = nbits.astype(jnp.int32)
+    offsets = offsets.astype(jnp.int32)
+    full = np.uint32(0xFFFFFFFF)
+
+    nb_lo = jnp.clip(nbits, 0, 32)
+    nb_hi = jnp.clip(nbits - 32, 0, 32)
+    mask_lo = jnp.where(nb_lo >= 32, full,
+                        jnp.where(nb_lo <= 0, np.uint32(0),
+                                  full >> (np.uint32(32) - nb_lo.astype(jnp.uint32))))
+    mask_hi = jnp.where(nb_hi >= 32, full,
+                        jnp.where(nb_hi <= 0, np.uint32(0),
+                                  full >> (np.uint32(32) - nb_hi.astype(jnp.uint32))))
+    lo = lo & mask_lo
+    hi = hi & mask_hi
+
+    w = offsets >> 5
+    sh = (offsets & 31).astype(jnp.uint32)
+    # v >> (32 - sh) expressed as (v >> 1) >> (31 - sh): exact for sh in
+    # [0, 31] (plain >> by 32 is undefined).
+    w0 = lo << sh
+    w1 = ((lo >> np.uint32(1)) >> (np.uint32(31) - sh)) | (hi << sh)
+    w2 = (hi >> np.uint32(1)) >> (np.uint32(31) - sh)
+
+    live = nbits > 0
+    if windowed:
+        # Dead items park at num_words + 1: the window [nw+1, nw+4) stays
+        # inside the padded operand, so nothing is dropped mid-stream and the
+        # pad rows absorb the (zero) contributions.
+        idx = jnp.where(live, w, num_words + 1)[:, None]
+        upd = jnp.stack([w0, w1, w2], axis=1)
+        out = jnp.zeros((num_words + 4,), jnp.uint32)
+        dnums = jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(1,), inserted_window_dims=(),
+            scatter_dims_to_operand_dims=(0,))
+        out = jax.lax.scatter_add(
+            out, idx, upd, dnums,
+            indices_are_sorted=False, unique_indices=False,
+            mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
+        return out[:num_words]
+    w0t = jnp.where(live, w, num_words)
+    w1t = jnp.where(live, w + 1, num_words)
+    w2t = jnp.where(live, w + 2, num_words)
+    out = jnp.zeros((num_words,), jnp.uint32)
+    out = out.at[w0t].add(w0, mode="drop")
+    out = out.at[w1t].add(w1, mode="drop")
+    out = out.at[w2t].add(w2, mode="drop")
     return out
 
 

@@ -54,6 +54,21 @@ def _shift_down(x: jnp.ndarray, k: int, fill) -> jnp.ndarray:
     return jnp.concatenate([jnp.full((k,), fill, x.dtype), x[:-k]])
 
 
+def _padded(x: jnp.ndarray, kmax: int, fill) -> jnp.ndarray:
+    """Pad kmax fill-values in front ONCE so per-k shifts become slices.
+
+    A concatenate per (candidate, word) materializes a fresh buffer and
+    breaks XLA fusion (measured: the candidate-scoring stage ran ~15x off
+    bandwidth from op overhead); slicing one shared padded buffer keeps the
+    whole score chain a single fused elementwise kernel."""
+    return jnp.concatenate([jnp.full((kmax,), fill, x.dtype), x])
+
+
+def _shifted(xpad: jnp.ndarray, k: int, kmax: int, S: int) -> jnp.ndarray:
+    """y[i] = x[i-k] over a _padded buffer (pure slice, fuses)."""
+    return jax.lax.slice(xpad, (kmax - k,), (kmax - k + S,))
+
+
 def _words4(data: jnp.ndarray) -> jnp.ndarray:
     """w4[i] = data[i..i+3] as LSB-first u32 (tail zero-padded)."""
     d32 = data.astype(jnp.uint32)
@@ -106,23 +121,28 @@ def find_matches(data: jnp.ndarray, num_candidates: int = 32,
     pr = P[order]                       # ONE row gather
     pw = [pr[:, t] for t in range(PW + 1)]
 
+    KM = num_candidates
+    hs_pad = _padded(hs, KM, np.uint32(0xFFFFFFFF))
+    ps_pad = _padded(ps, KM, -1)
+    pw_pad = [_padded(pw[t], KM, np.uint32(0)) for t in range(PW + 1)]
+
     def score_k(k, words):
         """Byte-exact leading-match length vs the k-th sorted predecessor,
         scored over the first `words` payload words (+1 tail word)."""
-        same = hs == _shift_down(hs, k, np.uint32(0xFFFFFFFF))
-        cnd = _shift_down(ps, k, -1)
+        same = hs == _shifted(hs_pad, k, KM, S)
+        cnd = _shifted(ps_pad, k, KM, S)
         ok = same & (cnd >= 0) & (ps - cnd <= C.WINDOW_SIZE)
         run = jnp.ones((S,), jnp.int32)
         nw = jnp.zeros((S,), jnp.int32)
         first_diff = jnp.zeros((S,), jnp.uint32)
         for t in range(words):
-            diff = pw[t] ^ _shift_down(pw[t], k, np.uint32(0))
+            diff = pw[t] ^ _shifted(pw_pad[t], k, KM, S)
             hit = (run > 0) & (diff != 0)
             first_diff = jnp.where(hit, diff, first_diff)
             eq = (diff == 0).astype(jnp.int32)
             nw = nw + run * eq
             run = run * eq
-        dlast = pw[words] ^ _shift_down(pw[words], k, np.uint32(0))
+        dlast = pw[words] ^ _shifted(pw_pad[words], k, KM, S)
         first_diff = jnp.where(run > 0, dlast, first_diff)
         nbytes = 4 * nw + _tail_bytes(first_diff)     # exact up to 4*words+3
         return jnp.where(ok, nbytes, -1), cnd
@@ -251,13 +271,29 @@ def greedy_parse(token_len: jnp.ndarray, chunk: int = 64,
     nchunks = S // chunk
     pos = jnp.arange(S, dtype=jnp.int32)
     g = jnp.minimum(pos + token_len, S)
-    end_i = (pos // chunk + 1) * chunk
 
-    # phase A: e[i] = first walk position >= end of i's chunk
-    e = g
-    for _ in range(max(1, int(np.ceil(np.log2(chunk))))):
-        e_next = e[jnp.clip(e, 0, S - 1)]
-        e = jnp.where(e >= end_i, e, e_next)
+    # phase A: e[i] = first walk position >= end of i's chunk.
+    # Right-to-left lockstep column scan over the (nchunks, chunk) layout:
+    # column j's exit either leaves the chunk directly or equals the exit of
+    # a LATER column (walks only move forward), which is already resolved.
+    # One (nchunks,)-gather per step — S gathers total — versus log2(chunk)
+    # full-S doubling rounds (measured ~15 ms/256 KB, the parse hot spot).
+    base = jnp.arange(nchunks, dtype=jnp.int32) * chunk
+    g2 = g.reshape(nchunks, chunk)
+    endc = (base + chunk)[:, None]                       # (nchunks, 1)
+
+    def exit_col(e2, j):
+        tgt = jax.lax.dynamic_slice_in_dim(g2, j, 1, axis=1)  # (nchunks, 1)
+        out = tgt >= endc
+        loc = jnp.clip(tgt - base[:, None], 0, chunk - 1)
+        inner = jnp.take_along_axis(e2, loc, axis=1)
+        col = jnp.where(out, tgt, inner)
+        return jax.lax.dynamic_update_slice_in_dim(e2, col, j, axis=1), None
+
+    e2_0 = jnp.zeros((nchunks, chunk), jnp.int32) + g2 * 0   # data-tied
+    e2, _ = jax.lax.scan(exit_col, e2_0,
+                         jnp.arange(chunk - 1, -1, -1, dtype=jnp.int32))
+    e = e2.reshape(S)
 
     # phase B: thread entries across chunks (batched scan: `scan_batch`
     # dependent 1-element hops per step — same data, fewer step overheads)

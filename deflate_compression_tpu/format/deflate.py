@@ -37,9 +37,14 @@ from ..core import huffman, lz77
 from . import constants as C
 
 BLOCK = C.WINDOW_SIZE            # 32768 input bytes per coding block
-_PAYLOAD_ITEMS = BLOCK // 4      # stored payload as u32 items
+_PAYLOAD_ITEMS = BLOCK // 8      # stored payload as 64-bit (2-word) items
 _RLE_SLOTS = 316                 # max hlit (286) + max hdist (30)
-_H_ITEMS = 1 + 1 + 19 + 2 * _RLE_SLOTS + 1 + 1 + _PAYLOAD_ITEMS
+# header slots: 3-bit hdr | 14-bit dynhdr | 19 clen | RLE (code+extra merged,
+# <= 14 bits each) | stored pad | LEN/NLEN | stored payload (64-bit items)
+_H_ITEMS = 1 + 1 + 19 + _RLE_SLOTS + 1 + 1 + _PAYLOAD_ITEMS
+_SLOT_PAD = 337
+_SLOT_LENNLEN = 338
+_SLOT_PAYLOAD = 339
 
 # Fixed-tree tables as host constants (codes already canonical per RFC).
 _FIXED_LL_LEN = C.FIXED_LITLEN_LENGTHS[:C.NUM_LITLEN]
@@ -212,15 +217,18 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     # -------------------------------------------------------- block planning
     # Per-tile histograms at position granularity: sufficient statistics for
     # the split DP AND (segment-summed) for the per-block Huffman trees, so
-    # the token-slot arrays never need re-histogramming.
+    # the token-slot arrays never need re-histogramming. Both alphabets ride
+    # ONE scatter-add (litlen keys then dist keys in a shared key space).
+    n_ll_keys = NB * C.NUM_LITLEN
+    n_keys = n_ll_keys + NB * C.NUM_DIST
     mk_ll = jnp.where(chosen, micro_of_pos * C.NUM_LITLEN + ll_sym_pos,
-                      NB * C.NUM_LITLEN)
-    ll_freq_micro = huffman.histogram(
-        mk_ll, NB * C.NUM_LITLEN).reshape(NB, C.NUM_LITLEN)
-    mk_d = jnp.where(is_match, micro_of_pos * C.NUM_DIST + d_sym_pos,
-                     NB * C.NUM_DIST)
-    d_freq_micro = huffman.histogram(
-        mk_d, NB * C.NUM_DIST).reshape(NB, C.NUM_DIST)
+                      n_keys)
+    mk_d = jnp.where(is_match,
+                     n_ll_keys + micro_of_pos * C.NUM_DIST + d_sym_pos,
+                     n_keys)
+    freq_micro = huffman.histogram(jnp.concatenate([mk_ll, mk_d]), n_keys)
+    ll_freq_micro = freq_micro[:n_ll_keys].reshape(NB, C.NUM_LITLEN)
+    d_freq_micro = freq_micro[n_ll_keys:].reshape(NB, C.NUM_DIST)
 
     if force_btype == C.BTYPE_FIXED and NB > 1:
         # fixed blocks carry no tree description: one block for the shard
@@ -259,8 +267,9 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     cs_incl = cs_excl + chosen.astype(jnp.int32)
     eob_slot = cs_incl[end_pos_b - 1] + b_idx
 
-    # Scatter token fields bit-packed into TWO words per slot (scatters are
-    # ~100M elem/s on TPU — the packing cuts 9 scatters to 3):
+    # Scatter token fields bit-packed into TWO words per slot, via ONE row
+    # scatter (scatters are ~100M descriptors/s on TPU; a (T,2) row write is
+    # one descriptor per position instead of two):
     #   A: ll_sym(9) | ll_ev(5)<<9 | ll_eb(3)<<14 | valid<<17 | is_match<<18
     #   B: d_sym(5) | d_ev(13)<<5 | d_eb(4)<<18 | blk<<22  (NB <= 512)
     assert NB <= 512
@@ -268,14 +277,17 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
                  | (1 << 17) | (is_match.astype(jnp.int32) << 18))
     packB_pos = (d_sym_pos | (d_ev_pos << 5) | (d_eb_pos << 18)
                  | (blk_of_pos << 22))
-    tgt = jnp.where(chosen, slot, T)
-    packA = jnp.zeros((T,), jnp.int32).at[tgt].set(packA_pos, mode="drop")
-    packB = jnp.zeros((T,), jnp.int32).at[tgt].set(packB_pos, mode="drop")
+    tgt = jnp.where(chosen, slot, T)        # row T is the garbage sink
+    packAB = jnp.zeros((T + 1, 2), jnp.int32).at[tgt].set(
+        jnp.stack([packA_pos, packB_pos], axis=1))
 
     # EOB tokens (symbol 256) per emitted block.
     eob_tgt = jnp.where(b_emitted, eob_slot, T)
-    packA = packA.at[eob_tgt].set(C.EOB | (1 << 17), mode="drop")
-    packB = packB.at[eob_tgt].set(b_idx << 22, mode="drop")
+    packAB = packAB.at[eob_tgt].set(
+        jnp.stack([jnp.full((NB,), C.EOB | (1 << 17), jnp.int32),
+                   b_idx << 22], axis=1))
+    packA = packAB[:T, 0]
+    packB = packAB[:T, 1]
 
     ll_sym = packA & 0x1FF
     ll_ev = (packA >> 9) & 0x1F
@@ -399,72 +411,80 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
 
     huff_blk = (btype != C.BTYPE_STORED)[tok_blk] & tok_valid & b_emitted[tok_blk]
 
+    # ONE 48-bit item per token slot: litlen code+extra (<= 20 bits) in the
+    # low bits, dist code+extra (<= 28 bits) above it — halves the item
+    # count and the offset cumsum vs two 32-bit items per token.
     it_ll_val = (tk_ll_code | (ll_ev.astype(jnp.uint32) << tk_ll_bits.astype(jnp.uint32)))
     it_ll_nb = jnp.where(huff_blk, tk_ll_bits + ll_eb, 0)
     it_d_val = (tk_d_code | (d_ev.astype(jnp.uint32) << tk_d_bits.astype(jnp.uint32)))
     it_d_nb = jnp.where(huff_blk & tok_is_match, tk_d_bits + d_eb, 0)
 
-    tok_vals = jnp.stack([it_ll_val, it_d_val], axis=1).reshape(2 * T)
-    tok_nbs = jnp.stack([it_ll_nb, it_d_nb], axis=1).reshape(2 * T)
-    tok_item_blk = jnp.stack([tok_blk, tok_blk], axis=1).reshape(2 * T)
+    sh_a = it_ll_nb.astype(jnp.uint32)
+    tok_lo = it_ll_val | (it_d_val << sh_a)
+    tok_hi = (it_d_val >> np.uint32(1)) >> (np.uint32(31) - sh_a)
+    tok_nbs = it_ll_nb + it_d_nb                         # (T,)
 
     # Per-block token bit totals and per-block first-token-slot.
-    T_b = huffman.histogram(tok_item_blk, NB, weights=tok_nbs)
+    T_b = huffman.histogram(tok_blk, NB, weights=tok_nbs)
     tok_start = cs_excl[start_pos_b] + b_idx            # first slot of block b
-    ctok = jnp.cumsum(tok_nbs) - tok_nbs                # exclusive, (2T,)
-    ctok_block0 = ctok[2 * tok_start]
+    ctok = jnp.cumsum(tok_nbs) - tok_nbs                # exclusive, (T,)
+    ctok_block0 = ctok[tok_start]
 
     # ----------------------------------------------------------- header items
-    hdr_vals = jnp.zeros((NB, _H_ITEMS), jnp.uint32)
+    hdr_lo = jnp.zeros((NB, _H_ITEMS), jnp.uint32)
+    hdr_hi = jnp.zeros((NB, _H_ITEMS), jnp.uint32)
     hdr_nbs = jnp.zeros((NB, _H_ITEMS), jnp.int32)
 
     is_dyn = btype == C.BTYPE_DYNAMIC
     is_sto = btype == C.BTYPE_STORED
     bfinal = (b_idx == LB) & final
-    hdr_vals = hdr_vals.at[:, 0].set(
+    hdr_lo = hdr_lo.at[:, 0].set(
         (bfinal.astype(jnp.uint32)) | (btype.astype(jnp.uint32) << 1))
     hdr_nbs = hdr_nbs.at[:, 0].set(jnp.where(b_emitted, 3, 0))
 
     dynhdr = ((hlit - 257) | ((hdist - 1) << 5) | ((hclen - 4) << 10)).astype(jnp.uint32)
-    hdr_vals = hdr_vals.at[:, 1].set(dynhdr)
+    hdr_lo = hdr_lo.at[:, 1].set(dynhdr)
     hdr_nbs = hdr_nbs.at[:, 1].set(jnp.where(b_emitted & is_dyn, 14, 0))
 
     j19 = jnp.arange(19)[None, :]
-    hdr_vals = hdr_vals.at[:, 2:21].set(lens_perm.astype(jnp.uint32))
+    hdr_lo = hdr_lo.at[:, 2:21].set(lens_perm.astype(jnp.uint32))
     hdr_nbs = hdr_nbs.at[:, 2:21].set(
         jnp.where((b_emitted & is_dyn)[:, None] & (j19 < hclen[:, None]), 3, 0))
 
+    # RLE symbol + its extra bits merged into ONE <= 14-bit item per slot
     clen_code_rev = bits_mod.reverse_bits(clen_code, clen_len, 7)
     rle_code = jnp.take_along_axis(clen_code_rev, jnp.maximum(rle_sym, 0), axis=1)
     rle_code_bits = jnp.take_along_axis(clen_len, jnp.maximum(rle_sym, 0), axis=1)
     emit_mask = (b_emitted & is_dyn)[:, None] & rle_emitted
-    rle_pair_vals = jnp.stack([rle_code.astype(jnp.uint32),
-                               rle_ev.astype(jnp.uint32)], axis=2)
-    rle_pair_nbs = jnp.stack([jnp.where(emit_mask, rle_code_bits, 0),
-                              jnp.where(emit_mask, rle_eb, 0)], axis=2)
-    hdr_vals = hdr_vals.at[:, 21:21 + 2 * _RLE_SLOTS].set(
-        rle_pair_vals.reshape(NB, 2 * _RLE_SLOTS))
-    hdr_nbs = hdr_nbs.at[:, 21:21 + 2 * _RLE_SLOTS].set(
-        rle_pair_nbs.reshape(NB, 2 * _RLE_SLOTS))
+    rle_val = (rle_code.astype(jnp.uint32)
+               | (rle_ev.astype(jnp.uint32) << rle_code_bits.astype(jnp.uint32)))
+    hdr_lo = hdr_lo.at[:, 21:21 + _RLE_SLOTS].set(rle_val)
+    hdr_nbs = hdr_nbs.at[:, 21:21 + _RLE_SLOTS].set(
+        jnp.where(emit_mask, rle_code_bits + rle_eb, 0))
 
-    # stored: pad (slot 653, filled after the scan), LEN/NLEN (654), payload
+    # stored: pad (slot filled after the scan), LEN/NLEN, payload
     lennlen = (blen.astype(jnp.uint32)
                | ((~blen.astype(jnp.uint32) & np.uint32(0xFFFF)) << np.uint32(16)))
-    hdr_vals = hdr_vals.at[:, 654].set(lennlen)
-    hdr_nbs = hdr_nbs.at[:, 654].set(jnp.where(b_emitted & is_sto, 32, 0))
+    hdr_lo = hdr_lo.at[:, _SLOT_LENNLEN].set(lennlen)
+    hdr_nbs = hdr_nbs.at[:, _SLOT_LENNLEN].set(
+        jnp.where(b_emitted & is_sto, 32, 0))
 
-    # payload words per 32 KB tile (elementwise reshape), indexed by each
-    # block's start tile — stored blocks are always single-tile (the cost
-    # table bars merged stored blocks), so one NB-row gather suffices
+    # payload per 32 KB tile as 64-bit (2-word) items (elementwise reshape),
+    # indexed by each block's start tile — stored blocks are always
+    # single-tile (the cost table bars merged stored blocks), so one NB-row
+    # gather suffices
     q = data.reshape(S // 4, 4).astype(jnp.uint32)
     tile_words = (q[:, 0] | (q[:, 1] << 8) | (q[:, 2] << 16)
-                  | (q[:, 3] << 24)).reshape(NB, _PAYLOAD_ITEMS)
+                  | (q[:, 3] << 24)).reshape(NB, 2 * _PAYLOAD_ITEMS)
     pay_val = tile_words[start_micro_c]
-    p4 = jnp.arange(_PAYLOAD_ITEMS, dtype=jnp.int32)[None, :] * 4
-    pay_nb = 8 * jnp.clip(blen[:, None] - p4, 0, 4)
+    pay_lo = pay_val[:, 0::2]
+    pay_hi = pay_val[:, 1::2]
+    p8 = jnp.arange(_PAYLOAD_ITEMS, dtype=jnp.int32)[None, :] * 8
+    pay_nb = 8 * jnp.clip(blen[:, None] - p8, 0, 8)
     pay_nb = jnp.where((b_emitted & is_sto)[:, None], pay_nb, 0)
-    hdr_vals = hdr_vals.at[:, 655:].set(pay_val)
-    hdr_nbs = hdr_nbs.at[:, 655:].set(pay_nb)
+    hdr_lo = hdr_lo.at[:, _SLOT_PAYLOAD:].set(pay_lo)
+    hdr_hi = hdr_hi.at[:, _SLOT_PAYLOAD:].set(pay_hi)
+    hdr_nbs = hdr_nbs.at[:, _SLOT_PAYLOAD:].set(pay_nb)
 
     # --------------------------------------------- block layout scan (NB steps)
     hdr_fixed = jnp.sum(hdr_nbs, axis=1)     # without pad
@@ -479,7 +499,7 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     p0 = jnp.int32(0) + hdr_fixed[0] * 0
     p_end, (block_base, pad_b) = jax.lax.scan(layout_step, p0, b_idx)
 
-    hdr_nbs = hdr_nbs.at[:, 653].set(pad_b)
+    hdr_nbs = hdr_nbs.at[:, _SLOT_PAD].set(pad_b)
 
     # Tail: sync flush when not final (empty stored block + byte align).
     sf_pad = (8 - ((p_end + 3) % 8)) % 8
@@ -495,13 +515,15 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     hdr_offs = block_base[:, None] + hdr_excl
 
     token_base = block_base + hdr_fixed + pad_b
-    tok_offs = token_base[tok_item_blk] + (ctok - ctok_block0[tok_item_blk])
+    tok_offs = token_base[tok_blk] + (ctok - ctok_block0[tok_blk])
 
-    values = jnp.concatenate([hdr_vals.reshape(-1), tok_vals, tail_vals])
+    lo = jnp.concatenate([hdr_lo.reshape(-1), tok_lo, tail_vals])
+    hi = jnp.concatenate([hdr_hi.reshape(-1), tok_hi,
+                          jnp.zeros((3,), jnp.uint32)])
     nbits = jnp.concatenate([hdr_nbs.reshape(-1), tok_nbs, tail_nbs])
     offsets = jnp.concatenate([hdr_offs.reshape(-1), tok_offs, tail_offs])
 
-    words = bits_mod.pack_items_to_words(values, nbits, offsets, OUT_WORDS)
+    words = bits_mod.pack_items64_to_words(lo, hi, nbits, offsets, OUT_WORDS)
 
     n_tokens = jnp.sum(tok_valid.astype(jnp.int32))
     n_matches = jnp.sum(tok_is_match.astype(jnp.int32))
