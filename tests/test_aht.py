@@ -78,6 +78,17 @@ def test_trace_is_monotone_and_matches_reference_format():
     assert trace[-1] < 8 * len(data)
 
 
+def test_vitter_at_most_one_interchange_per_insert():
+    # Vitter's theorem: the slide-and-increment update needs at most one
+    # leaf interchange per inserted symbol (vs FGK's one per level).
+    for stream in STREAMS:
+        t = AdaptiveHuffmanTree(286)
+        for s in stream:
+            t.insert(int(s))
+            assert t._last_insert_interchanges <= 1
+        t.check()  # includes the leaves-before-internal block invariant
+
+
 def test_dump_runs():
     t = AdaptiveHuffmanTree(8)
     for s in [1, 2, 1, 3, 1]:
