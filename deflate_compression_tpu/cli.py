@@ -211,11 +211,19 @@ def cmd_png(args) -> int:
 
 
 def cmd_trace(args) -> int:
-    from .models.codec import ZlibCodec
-    from .utils.config import CodecConfig
     raw = _read(args.input)
-    _, stats = ZlibCodec(CodecConfig()).compress(raw, return_stats=True)
-    out = stats.to_csv()
+    if args.per_symbol:
+        # format A: one record per emitted symbol from the real token
+        # stream (reference deflate_ext.h:19-31, results/results.txt)
+        from .utils.trace import per_symbol_trace_csv
+        out = per_symbol_trace_csv(raw, stride=args.stride,
+                                   header_stride=args.header_stride)
+    else:
+        # format B: cumulative per-block (results/results_.txt)
+        from .models.codec import ZlibCodec
+        from .utils.config import CodecConfig
+        _, stats = ZlibCodec(CodecConfig()).compress(raw, return_stats=True)
+        out = stats.to_csv()
     _write(args.output, out.encode())
     return 0
 
@@ -274,6 +282,12 @@ def main(argv=None) -> int:
     t = sub.add_parser("trace")
     t.add_argument("input")
     t.add_argument("-o", "--output", default="-")
+    t.add_argument("--per-symbol", action="store_true",
+                   help="format-A per-symbol records (results/results.txt)")
+    t.add_argument("--stride", type=int, default=1,
+                   help="emit every Nth per-symbol record")
+    t.add_argument("--header-stride", type=int, default=1,
+                   help="recompute tree-header cost every Nth record")
     t.set_defaults(fn=cmd_trace)
 
     args = p.parse_args(argv)

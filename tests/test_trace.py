@@ -1,0 +1,93 @@
+"""Format-A per-symbol telemetry tests (reference results/results.txt).
+
+The reference's stats channel writes one record per emitted symbol with the
+split tree/litlen/dist bit costs (src/include/deflate_ext.h:19-31, producer
+src/deflate_compress.c:291-308); the golden CSV header and column semantics
+are results/results.txt:1. Our trace is produced from the encoder's REAL
+token stream, so the numbers differ from the golden's (different match
+finder), but the format, the column identities, and the cost-model
+invariants must hold — and the first record must agree with the golden's
+within model tolerance (both are "one literal into fresh AHTs").
+"""
+import numpy as np
+import pytest
+
+from deflate_compression_tpu.utils.trace import (
+    CSV_HEADER, per_symbol_records, per_symbol_trace_csv)
+
+GOLDEN = "/root/reference/results/results.txt"
+BEE = "/root/reference/test_files/original/bee_movie_script.txt"
+
+
+def _golden_rows(n=3):
+    with open(GOLDEN) as f:
+        header = f.readline().strip()
+        rows = [tuple(float(x) for x in f.readline().split(","))
+                for _ in range(n)]
+    return header, rows
+
+
+def test_header_matches_golden_exactly():
+    header, _ = _golden_rows(0)
+    assert CSV_HEADER == header
+
+
+def test_columns_sum_to_ratio_and_monotone():
+    raw = open(BEE, "rb").read()[:4000]
+    rows = list(per_symbol_records(raw, header_stride=8))
+    assert len(rows) > 100
+    prev_bytes, prev_ll = 0, -1
+    for b, codes, ebits, ll, d, ratio in rows:
+        assert b > prev_bytes                      # bytes strictly increase
+        assert ll >= prev_ll                       # AHT score is cumulative
+        assert d >= 0 and codes >= 0 and ebits >= 14
+        assert ratio == pytest.approx((codes + ebits + ll + d) / b)
+        prev_bytes, prev_ll = b, ll
+    # text at 4 KB: the cost model must land in a sane bits/byte band
+    assert 1.5 < rows[-1][-1] < 6.0
+
+
+def test_first_record_agrees_with_golden_within_tolerance():
+    _, g = _golden_rows(1)
+    g_bytes, g_codes, g_ebits, g_ll, g_d, g_ratio = g[0]
+    raw = open(BEE, "rb").read()[:64]
+    first = next(iter(per_symbol_records(raw)))
+    b, codes, ebits, ll, d, ratio = first
+    assert b == g_bytes == 1                   # first token is one literal
+    assert d == g_d == 0
+    # one literal into fresh trees: total header+payload bits within 1.5x
+    # of the golden (we pre-seed EOB per deflate_compress.c:234; the
+    # archived run did not, hence small constant offsets)
+    assert ratio == pytest.approx(g_ratio, rel=0.5)
+    assert ebits == pytest.approx(g_ebits, rel=0.5)
+
+
+def test_last_record_tracks_actual_compression():
+    # the final cumulative cost-model ratio must be within model tolerance
+    # of the real emitted bitstream's bits/byte (extra bits excluded from
+    # format A per deflate_ext.h:29-30, so the model is a lower bound-ish)
+    import zlib
+    raw = open(BEE, "rb").read()[:6000]
+    rows = list(per_symbol_records(raw, stride=64, header_stride=64))
+    model = rows[-1][-1]
+    actual = 8 * len(zlib.compress(raw, 6)) / len(raw)
+    assert rows[-1][0] == len(raw)
+    assert model < actual                 # model excludes extra bits/EOB
+    assert model > 0.5 * actual
+
+
+def test_csv_shape_and_cli(tmp_path):
+    raw = b"abracadabra" * 40
+    csv = per_symbol_trace_csv(raw, stride=4, header_stride=8)
+    lines = csv.strip().split("\n")
+    assert lines[0] == CSV_HEADER
+    assert len(lines) > 5
+    assert all(len(line.split(",")) == 6 for line in lines[1:])
+
+    from deflate_compression_tpu.cli import main
+    src = tmp_path / "in.bin"
+    src.write_bytes(raw)
+    out = tmp_path / "trace.csv"
+    assert main(["trace", str(src), "--per-symbol", "--stride", "4",
+                 "-o", str(out)]) == 0
+    assert out.read_text().startswith(CSV_HEADER)
