@@ -69,16 +69,24 @@ def _package_merge_lengths(leaf_w: jnp.ndarray, k: jnp.ndarray, n: int,
     # small).
     cum1 = cumleaf(leaves2, leaf_flag2)
 
-    cat_f = jnp.concatenate([jnp.ones((n,), jnp.int32),
-                             jnp.zeros((n,), jnp.int32)])
+    jn = jnp.arange(n, dtype=jnp.int32)
 
     def level_step(w, _):
+        # Both merge inputs are already sorted ascending (leaves by
+        # construction; adjacent-pair sums of a sorted list), so the merge is
+        # a rank computation — a compare matrix + two n-element scatters —
+        # instead of a stable argsort (measured: the 14 level sorts were the
+        # bulk of the encoder's tree stage).
         pw = jnp.minimum(w.reshape(n, 2).sum(axis=1), INF_W)  # pairs; INF abs.
-        cat_w = jnp.concatenate([leaves2[:n], pw])      # merge w/ leaves
-        key = cat_w * 2 + (1 - cat_f)                   # leaf before package
-        order = jnp.argsort(key, stable=True)
-        w2 = cat_w[order]
-        return w2, cumleaf(w2, cat_f[order])
+        lv = leaves2[:n]
+        # ties: leaf before package (same key rule as the reference's
+        # two-queue pop order, src/h_tree.c:192-229)
+        rank_l = jn + jnp.sum(pw[None, :] < lv[:, None], axis=1)
+        rank_p = jn + jnp.sum(lv[None, :] <= pw[:, None], axis=1)
+        w2 = jnp.full((m2,), INF_W, jnp.int32).at[rank_l].set(lv)
+        w2 = w2.at[rank_p].set(pw)
+        f2 = jnp.zeros((m2,), jnp.int32).at[rank_l].set(1)
+        return w2, cumleaf(w2, f2)
 
     _, cums = jax.lax.scan(level_step, leaves2, None, length=max_bits - 1)
     levels_cumleaf = jnp.concatenate([cum1[None], cums], axis=0)  # (L, 2n+1)
