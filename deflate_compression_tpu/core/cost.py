@@ -32,7 +32,8 @@ _TREE_PER_SYM = 5.5
 
 
 def block_plan(ll_freq_micro: jnp.ndarray, d_freq_micro: jnp.ndarray,
-               n_micro_valid: jnp.ndarray, max_merge: int = 8):
+               n_micro_valid: jnp.ndarray, max_merge: int = 8,
+               tile_bytes: jnp.ndarray | None = None):
     """Choose dynamic-block boundaries over 32 KB micro-tiles.
 
     Args:
@@ -40,6 +41,9 @@ def block_plan(ll_freq_micro: jnp.ndarray, d_freq_micro: jnp.ndarray,
       d_freq_micro: i32[M, 30] distance-code histograms per tile.
       n_micro_valid: i32 scalar — number of tiles covering real bytes.
       max_merge: static bound on tiles per block.
+      tile_bytes: optional i32[M] — real bytes per tile, so the stored
+        alternative is priced from the actual (possibly short) tail length
+        instead of a full 32 KB.
 
     Returns (split: bool[M], n_blocks: i32) — split[m] marks the first tile
     of each block; split[0] is always True.
@@ -77,17 +81,27 @@ def block_plan(ll_freq_micro: jnp.ndarray, d_freq_micro: jnp.ndarray,
     # DP: opt[j] = min_{1<=k<=max_merge} opt[j-k] + cost(j-k, j)
     BIG = jnp.float32(3.4e38)
 
+    if tile_bytes is None:
+        tile_bytes = jnp.full((M,), C.WINDOW_SIZE, jnp.int32)
+
+    # All (end-tile, merge-width) segment costs in ONE batched evaluation —
+    # inside the scan they were M sequential dispatches of tiny ops
+    # (measured ~6 ms/shard of pure overhead).
+    ks = jnp.arange(1, max_merge + 1, dtype=jnp.int32)
+    js = jnp.arange(1, M + 1, dtype=jnp.int32)
+    cost_all = jax.vmap(lambda j: jax.vmap(
+        lambda k: seg_cost(jnp.maximum(j - k, 0), j))(ks))(js)  # (M, mm)
+    # single tiles may fall back to a stored block (merged blocks cannot:
+    # LEN is 16-bit); give the DP that option so incompressible tiles stay
+    # single. Priced from the tile's REAL byte count — a short
+    # incompressible tail must not look 32 KB expensive.
+    stored_all = 42.0 + 8.0 * tile_bytes.astype(jnp.float32)
+    cost_all = cost_all.at[:, 0].min(stored_all)
+
     def step(opt_tail, j):
         # opt_tail: f32[max_merge] = opt[j-1], opt[j-2], ..., opt[j-max_merge]
-        ks = jnp.arange(1, max_merge + 1)
         i_s = j - ks
-        costs = jax.vmap(lambda i: seg_cost(jnp.maximum(i, 0), j))(i_s)
-        # single tiles may fall back to a stored block (merged blocks cannot:
-        # LEN is 16-bit); give the DP that option so incompressible tiles
-        # stay single
-        stored = jnp.float32(42 + 8 * C.WINDOW_SIZE)
-        costs = costs.at[0].set(jnp.minimum(costs[0], stored))
-        cand = jnp.where(i_s >= 0, opt_tail + costs, BIG)
+        cand = jnp.where(i_s >= 0, opt_tail + cost_all[j - 1], BIG)
         best_k = jnp.argmin(cand)
         opt_j = cand[best_k]
         new_tail = jnp.concatenate([opt_j[None], opt_tail[:-1]])

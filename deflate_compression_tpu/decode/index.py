@@ -6,6 +6,12 @@ offset, output byte offset and type, making decoding embarrassingly parallel
 deliberate TPU trade described in SURVEY §7.3 item 4 and PAPERS.md (rapidgzip
 builds the same index at first decode; gzip's zran does it offline).
 
+Version 2 adds SUB-BLOCK entries: a (bit_offset, out_offset, block) triple at
+the first token on/after every SUB_SIZE output bytes. They cost 20 bytes per
+4 KB of output and multiply the device decoder's parallel lanes (phase B of
+decode/tpu_inflate.py) — the step count becomes tokens-per-sub-block instead
+of tokens-per-block.
+
 Sources of an index:
   * free from our encoder (format/deflate.py stats), via `index_from_shards`;
   * one host pass over any foreign zlib/DEFLATE stream (`build_index`) —
@@ -13,7 +19,8 @@ Sources of an index:
     the pass needs no window buffer.
 
 Sidecar format (.dcx): magic 'DCXI', u32 version, u32 n_blocks, u64 out_len,
-then per block u64 bit_base, u64 out_start, u8 btype.
+then per block u64 bit_base, u64 out_start, u8 btype; version 2 appends
+u32 n_subs then per sub u64 bit, u64 out, u32 block.
 """
 from __future__ import annotations
 
@@ -28,7 +35,8 @@ from ..format import constants as C
 from ..utils.errors import DeflateError
 
 _MAGIC = b"DCXI"
-_VERSION = 1
+_VERSION = 2
+SUB_SIZE = 4096
 
 
 @dataclasses.dataclass
@@ -37,10 +45,17 @@ class DecodeIndex:
     out_start: np.ndarray     # i64[n] output byte offset of each block
     btype: np.ndarray         # u8[n]
     out_len: int              # total decompressed bytes
+    sub_bit: np.ndarray | None = None    # i64[m] first-token bit offsets
+    sub_out: np.ndarray | None = None    # i64[m] output offsets
+    sub_blk: np.ndarray | None = None    # i32[m] owning block ids
 
     @property
     def n_blocks(self) -> int:
         return len(self.bit_base)
+
+    @property
+    def n_subs(self) -> int:
+        return 0 if self.sub_bit is None else len(self.sub_bit)
 
     def to_bytes(self) -> bytes:
         head = _MAGIC + struct.pack("<IIQ", _VERSION, self.n_blocks,
@@ -48,14 +63,19 @@ class DecodeIndex:
         body = b"".join(
             struct.pack("<QQB", int(b), int(o), int(t))
             for b, o, t in zip(self.bit_base, self.out_start, self.btype))
-        return head + body
+        subs = struct.pack("<I", self.n_subs)
+        if self.n_subs:
+            subs += b"".join(
+                struct.pack("<QQI", int(b), int(o), int(k))
+                for b, o, k in zip(self.sub_bit, self.sub_out, self.sub_blk))
+        return head + body + subs
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "DecodeIndex":
         if data[:4] != _MAGIC:
             raise DeflateError("E_HDR", "bad index magic")
         ver, n, out_len = struct.unpack("<IIQ", data[4:20])
-        if ver != _VERSION:
+        if ver not in (1, 2):
             raise DeflateError("E_HDR", f"unsupported index version {ver}")
         bb = np.zeros(n, np.int64)
         os_ = np.zeros(n, np.int64)
@@ -64,20 +84,35 @@ class DecodeIndex:
         for i in range(n):
             bb[i], os_[i], bt[i] = struct.unpack("<QQB", data[off:off + 17])
             off += 17
-        return cls(bb, os_, bt, out_len)
+        sb = so = sk = None
+        if ver >= 2:
+            (m,) = struct.unpack("<I", data[off:off + 4])
+            off += 4
+            sb = np.zeros(m, np.int64)
+            so = np.zeros(m, np.int64)
+            sk = np.zeros(m, np.int32)
+            for i in range(m):
+                sb[i], so[i], sk[i] = struct.unpack("<QQI",
+                                                    data[off:off + 20])
+                off += 20
+        return cls(bb, os_, bt, out_len, sb, so, sk)
 
     def block_for_offset(self, byte_off: int) -> int:
         """Random access: which block contains output byte `byte_off`."""
         return int(np.searchsorted(self.out_start, byte_off, "right") - 1)
 
 
-def build_index(stream: bytes, bit_pos: int = 0) -> DecodeIndex:
-    """One host pass over a raw DEFLATE stream: records block boundaries by
-    decoding symbols but only COUNTING output bytes (no window needed)."""
+def build_index(stream: bytes, bit_pos: int = 0,
+                sub_size: int = SUB_SIZE) -> DecodeIndex:
+    """One host pass over a raw DEFLATE stream: records block boundaries (and
+    sub-entries every `sub_size` output bytes) by decoding symbols but only
+    COUNTING output bytes (no window needed)."""
     r = BitReader(stream, bit_pos)
     bit_base, out_start, btypes = [], [], []
+    sub_bit, sub_out, sub_blk = [], [], []
     out = 0
     while True:
+        blk_i = len(bit_base)
         bit_base.append(r.pos)
         out_start.append(out)
         bfinal = r.read(1)
@@ -100,7 +135,13 @@ def build_index(stream: bytes, bit_pos: int = 0) -> DecodeIndex:
                 ll, dd = _read_dynamic_tables(r)
             ll_sym, ll_len = ll
             d_sym, d_len = dd
+            next_mark = out      # block start always gets a sub-entry
             while True:
+                if out >= next_mark:
+                    sub_bit.append(r.pos)
+                    sub_out.append(out)
+                    sub_blk.append(blk_i)
+                    next_mark = (out // sub_size + 1) * sub_size
                 idx = r.peek(15)
                 l = ll_len[idx]
                 if l == 0:
@@ -126,16 +167,21 @@ def build_index(stream: bytes, bit_pos: int = 0) -> DecodeIndex:
             break
     return DecodeIndex(np.array(bit_base, np.int64),
                        np.array(out_start, np.int64),
-                       np.array(btypes, np.uint8), out)
+                       np.array(btypes, np.uint8), out,
+                       np.array(sub_bit, np.int64),
+                       np.array(sub_out, np.int64),
+                       np.array(sub_blk, np.int32))
 
 
 def index_from_shards(shard_results, shard_comp_bits, shard_out_lens) -> DecodeIndex:
     """Assemble a stream-level index from per-shard encoder stats
     (format/deflate.py returns block_bit_base/block_out_start/btype/n_blocks
-    relative to each shard)."""
+    and sub_bit/sub_out/sub_blk relative to each shard)."""
     bit_base, out_start, btypes = [], [], []
+    sub_bit, sub_out, sub_blk = [], [], []
     bit_off = 0
     out_off = 0
+    blk_off = 0
     for r, nbits, out_len in zip(shard_results, shard_comp_bits,
                                  shard_out_lens):
         n = int(r["n_blocks"])
@@ -145,11 +191,22 @@ def index_from_shards(shard_results, shard_comp_bits, shard_out_lens) -> DecodeI
         bit_base += list(bb + bit_off)
         out_start += list(os_ + out_off)
         btypes += list(bt)
+        if "sub_bit" in r:
+            sb = np.asarray(r["sub_bit"])
+            so = np.asarray(r["sub_out"])
+            sk = np.asarray(r["sub_blk"])
+            live = (sk >= 0) & (so < out_len)
+            sub_bit += list(sb[live] + bit_off)
+            sub_out += list(so[live] + out_off)
+            sub_blk += list(sk[live] + blk_off)
         bit_off += int(np.ceil(nbits / 8)) * 8   # shards are byte-aligned
         out_off += out_len
+        blk_off += n
+    subs = (np.array(sub_bit, np.int64), np.array(sub_out, np.int64),
+            np.array(sub_blk, np.int32)) if sub_bit else (None, None, None)
     return DecodeIndex(np.array(bit_base, np.int64),
                        np.array(out_start, np.int64),
-                       np.array(btypes, np.uint8), out_off)
+                       np.array(btypes, np.uint8), out_off, *subs)
 
 
 def decompress_indexed(stream: bytes, index: DecodeIndex,
@@ -159,10 +216,11 @@ def decompress_indexed(stream: bytes, index: DecodeIndex,
     group's last 32 KB rides along as window context so match distances may
     cross group boundaries (general streams have no window resets)."""
     import jax.numpy as jnp
-    from .tpu_inflate import decode_shard_indexed
+    from .tpu_inflate import decode_blocks
 
     W = C.WINDOW_SIZE
     n = index.n_blocks
+    have_subs = index.n_subs > 0
     out_parts = []
     prev_tail = np.zeros(W, np.uint8)
     plen = 0
@@ -192,11 +250,32 @@ def decompress_indexed(stream: bytes, index: DecodeIndex,
         os_[:nb] = (index.out_start[i:j] - start + plen).astype(np.int32)
         bt[:nb] = index.btype[i:j]
 
-        res = decode_shard_indexed(jnp.asarray(comp_words), jnp.asarray(bb),
-                                   jnp.asarray(os_), jnp.asarray(bt),
-                                   jnp.int32(nb), jnp.int32(plen + span),
-                                   S, prefix=jnp.asarray(prev_tail),
-                                   prefix_len=jnp.int32(plen))
+        if have_subs:
+            si = int(np.searchsorted(index.sub_blk, i, "left"))
+            sj = int(np.searchsorted(index.sub_blk, j, "left"))
+            ns = sj - si
+            NLP = max(1, 1 << int(np.ceil(np.log2(max(ns, 1)))))
+            sb = np.full(NLP, -1, np.int32)
+            so = np.full(NLP, 1 << 30, np.int32)
+            sk = np.full(NLP, -1, np.int32)
+            sb[:ns] = (index.sub_bit[si:sj] - first_byte * 8).astype(np.int32)
+            so[:ns] = (index.sub_out[si:sj] - start + plen).astype(np.int32)
+            sk[:ns] = (index.sub_blk[si:sj] - i).astype(np.int32)
+        else:
+            ns = nb
+            NLP = NBP
+            sb = np.full(NLP, -1, np.int32)
+            so = os_.copy()
+            hufft = (bt == C.BTYPE_FIXED) | (bt == C.BTYPE_DYNAMIC)
+            sk = np.where(hufft, np.arange(NLP, dtype=np.int32), -1)
+
+        res = decode_blocks(jnp.asarray(comp_words), jnp.asarray(bb),
+                            jnp.asarray(os_), jnp.asarray(bt),
+                            jnp.int32(nb), jnp.asarray(sb), jnp.asarray(so),
+                            jnp.asarray(sk), jnp.int32(ns),
+                            jnp.int32(plen + span), S,
+                            prefix=jnp.asarray(prev_tail),
+                            prefix_len=jnp.int32(plen))
         if not bool(res["ok"]):
             raise DeflateError("E_BADCODE", "indexed decode failed")
         full = np.asarray(res["out"])[:plen + span]

@@ -1,26 +1,41 @@
-"""TPU-parallel DEFLATE decoder (indexed two-phase decode).
+"""TPU-parallel DEFLATE decoder (indexed, sub-block-parallel, LUT decode).
 
 Huffman decoding is bit-serial, so a TPU-native decoder restructures it
 (SURVEY §7.3 item 4; PAPERS.md "Massively-Parallel Lossless Data
 Decompression" / rapidgzip):
 
-  Phase A — per-block dynamic header parse + canonical table construction,
-    vectorized ACROSS blocks (lanes): a short masked loop over RLE symbols.
-  Phase B — symbol decode, lanes = blocks: one `while_loop` whose body
-    decodes one symbol in EVERY live block simultaneously. Canonical
-    count-based decoding (first_code/limit per length) needs no LUTs: 15
-    static shift/compare candidates + one gather into the (len,sym)-sorted
-    symbol list. Tokens land in per-block slices of a flat array (block
-    output offsets bound token counts, so slices cannot overlap).
-  Phase C — LZ copy resolution in log2(S) pointer-doubling rounds over the
-    whole output (the reference's byte-serial back-copy loop
-    src/deflate_decompress.c:47-57 becomes 20 parallel gathers).
+  Phase A — per-block header parse + canonical table construction,
+    vectorized ACROSS blocks: a short masked loop over RLE symbols, then a
+    per-block flat decode LUT (raw 15-bit LSB-first peek -> (symbol index,
+    code length)) built with pure elementwise math — the bit reversal and
+    the 15 length candidates are folded in at build time, so the symbol
+    loop needs neither a bit-reverse nor a length search.
+  Phase B — symbol decode, lanes = SUB-BLOCK entry points (the encoder
+    emits a (bit, out) checkpoint every SUB_SIZE output bytes inside each
+    block — free, because it knows every token's bit offset): one
+    `while_loop` whose body decodes one symbol in EVERY live lane
+    simultaneously; a lane stops when its output cursor reaches the next
+    entry, so EOB is only ever *written*, never required. More lanes, fewer
+    steps: the step count is tokens-per-sub-block, not tokens-per-block.
+  Phase C — LZ copy resolution: overlapping copies collapse analytically
+    (a match at start s, dist d pulls byte j from s - d + ((j-s) mod d) —
+    the reference's byte-serial back-copy src/deflate_decompress.c:47-57
+    replays this one byte at a time), then convergence-checked pointer
+    doubling resolves cross-token chains in log2(chain-depth) gathers.
 
-The index (per-block bit offset / output offset / type) comes free from our
+Strictness (never return silently-wrong data): invalid prefixes (cl == 0),
+litlen symbols >= 286 and dist symbols >= 30 (RFC 1951 §3.2.5-3.2.6 "will
+never actually occur" — the reference's structure rejects them,
+src/deflate_decompress.c:278-279), HLIT > 286 / HDIST > 30, oversubscribed
+trees (Kraft sum), premature EOB, lane overrun, negative copy distances,
+and a hard bit-budget/step bound all flag the lane bad; `ok=False` whenever
+any live lane is bad. The loops are bounded, so corrupt input can't hang.
+
+The index (per-block bit/output offsets + sub-entries) comes free from our
 encoder (format/deflate.py stats) or from one host pass over a foreign
-stream (build_index). This is the deliberate TPU trade: random access +
-device-parallel decode in exchange for a sidecar the sequential format
-doesn't carry.
+stream (decode/index.py build_index). This is the deliberate TPU trade:
+random access + device-parallel decode in exchange for a sidecar the
+sequential format doesn't carry.
 """
 from __future__ import annotations
 
@@ -33,10 +48,36 @@ import jax.numpy as jnp
 from ..format import constants as C
 
 MAX_BITS = 15
+SUB_SIZE = 4096                  # sub-block entry spacing (output bytes)
+_LSZ = 1 << MAX_BITS
+_N_LL = 288                      # decode-side litlen alphabet (286/287 bad)
+_N_D = 32                        # decode-side dist alphabet (30/31 bad)
+
+
+def _rev_table(bits: int) -> np.ndarray:
+    p = np.arange(1 << bits, dtype=np.uint32)
+    r = np.zeros_like(p)
+    for i in range(bits):
+        r |= ((p >> i) & 1) << (bits - 1 - i)
+    return r
+
+
+_REV15 = _rev_table(15)
+_REV7 = _rev_table(7)
+
+# fixed trees, full decode-side alphabets (RFC 1951 §3.2.6: lengths are
+# DEFINED for 286/287 and dist codes 30/31 — they shape the canonical
+# counts even though the symbols themselves must never occur)
+_FIXED_LL_LEN_FULL = np.zeros(_N_LL, np.int32)
+_FIXED_LL_LEN_FULL[:len(C.FIXED_LITLEN_LENGTHS)] = C.FIXED_LITLEN_LENGTHS
+_FIXED_D_LEN_FULL = np.zeros(_N_D, np.int32)
+_FIXED_D_LEN_FULL[:len(C.FIXED_DIST_LENGTHS)] = C.FIXED_DIST_LENGTHS
+if len(C.FIXED_DIST_LENGTHS) < _N_D:
+    _FIXED_D_LEN_FULL[len(C.FIXED_DIST_LENGTHS):] = 5
 
 
 # ---------------------------------------------------------------------------
-# bit window reads from a u32-word view of the compressed stream
+# bit windows
 # ---------------------------------------------------------------------------
 
 def _peek32(words: jnp.ndarray, bit_pos: jnp.ndarray) -> jnp.ndarray:
@@ -46,28 +87,51 @@ def _peek32(words: jnp.ndarray, bit_pos: jnp.ndarray) -> jnp.ndarray:
     sh = (bit_pos & 31).astype(jnp.uint32)
     lo = words[wi]
     hi = words[jnp.clip(wi + 1, 0, W - 1)]
-    return (lo >> sh) | jnp.where(sh > 0, hi << (np.uint32(32) - sh),
+    return (lo >> sh) | jnp.where(sh > 0, hi << ((np.uint32(32) - sh)
+                                                 & np.uint32(31)),
                                   np.uint32(0))
 
 
-def _rev15(v: jnp.ndarray) -> jnp.ndarray:
-    """Bit-reverse the low 15 bits (LSB-first peek -> MSB-first code value)."""
-    v = v & np.uint32(0x7FFF)
-    r = jnp.zeros_like(v)
-    for i in range(15):
-        r = r | (((v >> np.uint32(i)) & np.uint32(1)) << np.uint32(14 - i))
-    return r
+def _peek64(words: jnp.ndarray, bit_pos: jnp.ndarray):
+    """64-bit LSB-first window as (lo, hi) u32 pair (3 word gathers)."""
+    W = words.shape[0]
+    wi = jnp.clip(bit_pos >> 5, 0, W - 1)
+    sh = (bit_pos & 31).astype(jnp.uint32)
+    w0 = words[wi]
+    w1 = words[jnp.clip(wi + 1, 0, W - 1)]
+    w2 = words[jnp.clip(wi + 2, 0, W - 1)]
+    up = (np.uint32(32) - sh) & np.uint32(31)
+    nz = sh > 0
+    lo = (w0 >> sh) | jnp.where(nz, w1 << up, np.uint32(0))
+    hi = (w1 >> sh) | jnp.where(nz, w2 << up, np.uint32(0))
+    return lo, hi
+
+
+def _extract(lo: jnp.ndarray, hi: jnp.ndarray, off: jnp.ndarray) -> jnp.ndarray:
+    """32-bit window at bit offset `off` in [0, 48] of the (lo, hi) pair."""
+    o = off.astype(jnp.uint32)
+    ol = o & np.uint32(31)
+    below = (lo >> ol) | jnp.where(ol > 0,
+                                   hi << ((np.uint32(32) - ol) & np.uint32(31)),
+                                   np.uint32(0))
+    above = hi >> ((o - np.uint32(32)) & np.uint32(31))
+    return jnp.where(o < 32, below, above)
+
+
+def _mask(nb: jnp.ndarray) -> jnp.ndarray:
+    """(1 << nb) - 1 for nb in [0, 16]."""
+    return (np.uint32(1) << nb.astype(jnp.uint32)) - np.uint32(1)
 
 
 # ---------------------------------------------------------------------------
-# canonical decode tables: count-based (no LUT)
+# canonical decode tables + flat LUT
 # ---------------------------------------------------------------------------
 
 def _canon_tables(lengths: jnp.ndarray, n: int, max_bits: int):
-    """From code lengths (NB, n) build count-based decode tables:
-    first[l], limit[l], base[l] (NB, max_bits+1) and the (len,sym)-sorted
-    symbol list (NB, n). Mirrors form_h_tree (src/deflate_decompress.c:
-    146-161) as pure vector math."""
+    """From code lengths (NB, n) build count-based decode tables first[l],
+    limit[l], base[l] (NB, max_bits+1), the (len,sym)-sorted symbol list
+    (NB, n), and the Kraft sum (oversubscription check). Mirrors form_h_tree
+    (src/deflate_decompress.c:146-161) as pure vector math."""
     NB = lengths.shape[0]
     lvl = jnp.arange(max_bits + 1)
     count = jnp.sum((lengths[:, :, None] == lvl[None, None, :])
@@ -85,32 +149,24 @@ def _canon_tables(lengths: jnp.ndarray, n: int, max_bits: int):
     key = jnp.where(lengths > 0, lengths, max_bits + 1) * (2 * n) \
         + jnp.arange(n)[None, :]
     order = jnp.argsort(key, axis=1).astype(jnp.int32)   # (NB, n)
-    return first, limit, base, order
+    kraft = jnp.sum(count[:, 1:] << (max_bits - lvl[1:])[None, :], axis=1)
+    over = kraft > (1 << max_bits)
+    return first, limit, base, order, over
 
 
-def _decode_symbol(rev: jnp.ndarray, first, limit, base, order,
-                   lane: jnp.ndarray, max_bits: int):
-    """Vectorized canonical decode: returns (symbol, code_len); code_len 0 =>
-    invalid code. fori_loop over code lengths keeps the compiled body small
-    (the unrolled form exploded TPU compile time)."""
-    def body(l, st):
-        found_l, sym_idx = st
-        c = (rev >> (np.uint32(max_bits) - l.astype(jnp.uint32))
-             ).astype(jnp.int32)
-        hit = (c < limit[lane, l]) & (found_l == 0)
-        found_l = jnp.where(hit, l, found_l)
-        sym_idx = jnp.where(hit, base[lane, l] + c - first[lane, l], sym_idx)
-        return found_l, sym_idx
-
-    z = jnp.zeros_like(rev, dtype=jnp.int32)
-    found_l, sym_idx = jax.lax.fori_loop(1, max_bits + 1, body, (z, z))
-    n = order.shape[1]
-    sym = order[lane, jnp.clip(sym_idx, 0, n - 1)]
-    return sym, found_l
-
-
-_FIXED_LL_LEN = jnp.asarray(C.FIXED_LITLEN_LENGTHS[:C.NUM_LITLEN])
-_FIXED_D_LEN = jnp.asarray(C.FIXED_DIST_LENGTHS[:C.NUM_DIST])
+def _build_lut(first, limit, base, max_bits: int, rev_np: np.ndarray):
+    """(NB, 2^max_bits) i32 LUT over the RAW LSB-first peek value:
+    entry = sym_index | (code_len << 9); code_len 0 => invalid prefix.
+    Pure elementwise build (the bit reversal and all length candidates are
+    host constants) — no gathers."""
+    found = jnp.zeros((first.shape[0], 1 << max_bits), jnp.int32)
+    idx = jnp.zeros_like(found)
+    for l in range(1, max_bits + 1):
+        c = jnp.asarray((rev_np >> (max_bits - l)).astype(np.int32))[None, :]
+        hit = (c >= first[:, l:l + 1]) & (c < limit[:, l:l + 1]) & (found == 0)
+        found = jnp.where(hit, l, found)
+        idx = jnp.where(hit, base[:, l:l + 1] + c - first[:, l:l + 1], idx)
+    return idx | (found << 9)
 
 
 # ---------------------------------------------------------------------------
@@ -118,58 +174,69 @@ _FIXED_D_LEN = jnp.asarray(C.FIXED_DIST_LENGTHS[:C.NUM_DIST])
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("out_size",))
-def decode_shard_indexed(comp_words: jnp.ndarray,
-                         bit_base: jnp.ndarray,
-                         out_start: jnp.ndarray,
-                         btype: jnp.ndarray,
-                         n_blocks: jnp.ndarray,
-                         valid_out: jnp.ndarray,
-                         out_size: int,
-                         prefix: jnp.ndarray | None = None,
-                         prefix_len: jnp.ndarray | None = None):
-    """Decode one shard's DEFLATE substream given its block index.
+def decode_blocks(comp_words: jnp.ndarray,
+                  blk_bit: jnp.ndarray,
+                  blk_out: jnp.ndarray,
+                  blk_btype: jnp.ndarray,
+                  n_blocks: jnp.ndarray,
+                  sub_bit: jnp.ndarray,
+                  sub_out: jnp.ndarray,
+                  sub_blk: jnp.ndarray,
+                  n_subs: jnp.ndarray,
+                  valid_out: jnp.ndarray,
+                  out_size: int,
+                  prefix: jnp.ndarray | None = None,
+                  prefix_len: jnp.ndarray | None = None):
+    """Decode a DEFLATE substream given its block index + sub-entries.
 
     Args:
-      comp_words: u32[CW] — the shard substream as LSB-first words.
-      bit_base: i32[NB] — bit offset of each block's 3-bit header.
-      out_start: i32[NB] — output byte offset where each block begins.
-      btype: i32[NB] — 0/1/2 per block (-1 for unused slots).
-      n_blocks: i32 — number of live blocks.
-      valid_out: i32 — total decompressed bytes.
+      comp_words: u32[CW] — the substream as LSB-first words.
+      blk_bit/blk_out/blk_btype: i32[NB] per coding block: bit offset of the
+        3-bit header, output byte offset, BTYPE (-1 for unused slots).
+      n_blocks: i32 — live block count.
+      sub_bit/sub_out/sub_blk: i32[NL] sub-entry lanes: bit offset of the
+        first token (-1 => "first token of the block": resolved from the
+        phase-A header-parse end), output byte offset, owning block id
+        (-1 => dead lane). Entries must be sorted by sub_out; each
+        Huffman block's start must appear as its first sub-entry. Stored
+        blocks need no entries (they decode positionally).
+      valid_out: i32 — total decompressed bytes (incl. prefix).
       out_size: static output capacity (>= valid_out).
-      prefix/prefix_len: optional u8[W]/i32 — already-decoded window context
-        occupying output positions [0, prefix_len): lets match distances
-        reach into the previous decode group when the stream's 32 KB window
-        crosses the group boundary (out_start entries must be shifted by the
-        caller). out[:prefix_len] reproduces the prefix.
+      prefix/prefix_len: optional u8[W]/i32 window context occupying output
+        [0, prefix_len) so match distances may reach into the previous
+        decode group (caller shifts all out offsets by prefix_len).
 
-    Returns dict(out=u8[out_size], ok=bool, bad_lanes=bool diagnostics).
+    Returns dict(out=u8[out_size], ok=bool, bad_lanes=bool[NL]).
     """
-    NB = bit_base.shape[0]
+    NB = blk_bit.shape[0]
+    NL = sub_bit.shape[0]
     S = out_size
-    lanes = jnp.arange(NB, dtype=jnp.int32)
-    live = (lanes < n_blocks)
-    is_dyn = live & (btype == C.BTYPE_DYNAMIC)
-    is_fix = live & (btype == C.BTYPE_FIXED)
-    is_sto = live & (btype == C.BTYPE_STORED)
+    CW = comp_words.shape[0]
+    comp_words = comp_words.astype(jnp.uint32)
+
+    blanes = jnp.arange(NB, dtype=jnp.int32)
+    blive = blanes < n_blocks
+    is_dyn = blive & (blk_btype == C.BTYPE_DYNAMIC)
+    is_fix = blive & (blk_btype == C.BTYPE_FIXED)
+    is_sto = blive & (blk_btype == C.BTYPE_STORED)
+    bbad = blive & (blk_btype == 3)                      # reserved BTYPE
     huff = is_dyn | is_fix
 
-    # lane output extents
-    out_end = jnp.where(lanes + 1 < n_blocks,
-                        out_start[jnp.clip(lanes + 1, 0, NB - 1)], valid_out)
-    out_end = jnp.where(live, out_end, out_start)
+    blk_end = jnp.where(blanes + 1 < n_blocks,
+                        blk_out[jnp.clip(blanes + 1, 0, NB - 1)], valid_out)
+    blk_end = jnp.where(blive, blk_end, blk_out)
 
     # ------------------------------------------------ phase A: block headers
-    bp = bit_base + 3                                    # skip BFINAL/BTYPE
+    bp = blk_bit + 3                                     # skip BFINAL/BTYPE
     w = _peek32(comp_words, bp)
     hlit = jnp.where(is_dyn, (w & np.uint32(31)).astype(jnp.int32) + 257, 257)
     hdist = jnp.where(is_dyn,
                       ((w >> np.uint32(5)) & np.uint32(31)).astype(jnp.int32) + 1, 1)
     hclen = jnp.where(is_dyn,
                       ((w >> np.uint32(10)) & np.uint32(15)).astype(jnp.int32) + 4, 4)
+    bbad = bbad | (is_dyn & ((hlit > 286) | (hdist > 30)))
     bp = jnp.where(is_dyn, bp + 14, bp)
 
-    # 19 x 3-bit code lengths in CLEN_ORDER
     clen_lens = jnp.zeros((NB, C.NUM_CLEN), jnp.int32)
     clen_order = jnp.asarray(C.CLEN_ORDER)
     for j in range(C.NUM_CLEN):
@@ -178,37 +245,41 @@ def decode_shard_indexed(comp_words: jnp.ndarray,
         clen_lens = clen_lens.at[:, clen_order[j]].set(jnp.where(use, v, 0))
         bp = jnp.where(use, bp + 3, bp)
 
-    cl_first, cl_limit, cl_base, cl_order = _canon_tables(
+    cl_first, cl_limit, cl_base, cl_order, cl_over = _canon_tables(
         clen_lens, C.NUM_CLEN, C.MAX_CLEN_BITS)
+    bbad = bbad | (is_dyn & cl_over)
+    cl_lut = _build_lut(cl_first, cl_limit, cl_base, C.MAX_CLEN_BITS, _REV7)
+    cl_lut_f = cl_lut.reshape(-1)
+    cl_order_f = cl_order.reshape(-1)
 
-    # RLE loop over code-length symbols (masked, <= 316 steps)
+    # RLE loop over code-length symbols (masked, <= 316 effective steps)
     total_lens = hlit + hdist
-    t316 = jnp.arange(_RLE_TOTAL := C.NUM_LITLEN + C.NUM_DIST, dtype=jnp.int32)
+    _RLE_W = C.NUM_LITLEN + C.NUM_DIST
+    t316 = jnp.arange(_RLE_W, dtype=jnp.int32)
+    bit_budget = jnp.int32(32 * CW)
 
     def rle_cond(st):
-        bp, i, prev, lens, bad = st
-        return jnp.any(is_dyn & (i < total_lens) & ~bad)
+        bp, i, prev, lens, bad, steps = st
+        return jnp.any(is_dyn & (i < total_lens) & ~bad) & (steps < _RLE_W + 4)
 
     def rle_body(st):
-        bp, i, prev, lens, bad = st
+        bp, i, prev, lens, bad, steps = st
         act = is_dyn & (i < total_lens) & ~bad
-        rev = _rev15(_peek32(comp_words, bp)) >> np.uint32(15 - 7)
-        # clen decode uses 7-bit codes: feed 7-bit reversed window
-        sym, cl = _decode_symbol(rev, cl_first, cl_limit, cl_base, cl_order,
-                                 lanes, C.MAX_CLEN_BITS)
+        lo, hi = _peek64(comp_words, bp)
+        e = cl_lut_f[blanes * (1 << C.MAX_CLEN_BITS)
+                     + (lo & np.uint32((1 << C.MAX_CLEN_BITS) - 1)
+                        ).astype(jnp.int32)]
+        cl = e >> 9
         bad = bad | (act & (cl == 0))
-        bp2 = bp + cl
-        w2 = _peek32(comp_words, bp2)
+        sym = cl_order_f[blanes * C.NUM_CLEN + (e & 0x1FF)]
         is_lit = sym < 16
         is16 = sym == 16
         is17 = sym == 17
         is18 = sym == 18
         eb = jnp.where(is16, 2, jnp.where(is17, 3, jnp.where(is18, 7, 0)))
-        ev = (w2 & ((np.uint32(1) << eb.astype(jnp.uint32)) - np.uint32(1))
-              ).astype(jnp.int32)
+        ev = (_extract(lo, hi, cl) & _mask(eb)).astype(jnp.int32)
         rep = jnp.where(is_lit, 1,
-                        jnp.where(is16, 3 + ev,
-                                  jnp.where(is17, 3 + ev, 11 + ev)))
+                        jnp.where(is16 | is17, 3 + ev, 11 + ev))
         fill = jnp.where(is_lit, sym, jnp.where(is16, prev, 0))
         bad = bad | (act & is16 & (prev < 0))
         cover = (t316[None, :] >= i[:, None]) & \
@@ -216,168 +287,204 @@ def decode_shard_indexed(comp_words: jnp.ndarray,
         lens = jnp.where(cover, fill[:, None], lens)
         i = jnp.where(act, i + rep, i)
         bad = bad | (act & (i > total_lens))
-        prev = jnp.where(act, jnp.where(is_lit, sym, jnp.where(
-            is16, prev, 0)), prev)
-        bp = jnp.where(act, bp2 + eb, bp)
-        return bp, i, prev, lens, bad
+        prev = jnp.where(act, jnp.where(is_lit, sym,
+                                        jnp.where(is16, prev, 0)), prev)
+        bp = jnp.where(act, bp + cl + eb, bp)
+        bad = bad | (act & (bp > bit_budget))
+        return bp, i, prev, lens, bad, steps + 1
 
-    lens0 = jnp.zeros((NB, C.NUM_LITLEN + C.NUM_DIST), jnp.int32)
-    prev0 = jnp.full((NB,), -1, jnp.int32)
-    bad0 = jnp.zeros((NB,), jnp.bool_)
-    i0 = jnp.zeros((NB,), jnp.int32)
-    bp, _, _, lens, bad = jax.lax.while_loop(
-        rle_cond, rle_body, (bp, i0, prev0, lens0, bad0))
+    lens0 = jnp.zeros((NB, _RLE_W), jnp.int32)
+    st0 = (bp, jnp.zeros((NB,), jnp.int32), jnp.full((NB,), -1, jnp.int32),
+           lens0, bbad, jnp.int32(0))
+    bp, _, _, lens, bbad, _ = jax.lax.while_loop(rle_cond, rle_body, st0)
 
-    # split into litlen / dist lengths
-    tl = jnp.arange(C.NUM_LITLEN, dtype=jnp.int32)
-    ll_lens = jnp.where(tl[None, :] < hlit[:, None],
-                        lens[:, :C.NUM_LITLEN], 0)
-    td = jnp.arange(C.NUM_DIST, dtype=jnp.int32)
-    d_gather = jnp.clip(hlit[:, None] + td[None, :], 0,
-                        C.NUM_LITLEN + C.NUM_DIST - 1)
-    d_lens = jnp.take_along_axis(lens, d_gather, axis=1)
+    # split into litlen / dist lengths (decode-side widths 288 / 32)
+    tl = jnp.arange(_N_LL, dtype=jnp.int32)
+    ll_dyn = jnp.concatenate(
+        [lens[:, :C.NUM_LITLEN],
+         jnp.zeros((NB, _N_LL - C.NUM_LITLEN), jnp.int32)], axis=1)
+    ll_lens = jnp.where(tl[None, :] < hlit[:, None], ll_dyn, 0)
+    td = jnp.arange(_N_D, dtype=jnp.int32)
+    d_gather = jnp.clip(hlit[:, None] + td[None, :], 0, _RLE_W - 1)
+    d_lens = jnp.take_along_axis(lens, jnp.minimum(d_gather, _RLE_W - 1)
+                                 if False else d_gather, axis=1)
     d_lens = jnp.where(td[None, :] < hdist[:, None], d_lens, 0)
 
-    ll_lens = jnp.where(is_fix[:, None], _FIXED_LL_LEN[None, :], ll_lens)
-    d_lens = jnp.where(is_fix[:, None], _FIXED_D_LEN[None, :], d_lens)
+    ll_lens = jnp.where(is_fix[:, None],
+                        jnp.asarray(_FIXED_LL_LEN_FULL)[None, :], ll_lens)
+    d_lens = jnp.where(is_fix[:, None],
+                       jnp.asarray(_FIXED_D_LEN_FULL)[None, :], d_lens)
 
-    ll_first, ll_limit, ll_base, ll_order = _canon_tables(
-        ll_lens, C.NUM_LITLEN, MAX_BITS)
-    d_first, d_limit, d_base, d_order = _canon_tables(
-        d_lens, C.NUM_DIST, MAX_BITS)
+    ll_first, ll_limit, ll_base, ll_order, ll_over = _canon_tables(
+        ll_lens, _N_LL, MAX_BITS)
+    d_first, d_limit, d_base, d_order, d_over = _canon_tables(
+        d_lens, _N_D, MAX_BITS)
+    bbad = bbad | (huff & (ll_over | d_over))
 
-    # -------------------------------------------- phase B: symbol decode loop
+    ll_lut_f = _build_lut(ll_first, ll_limit, ll_base, MAX_BITS,
+                          _REV15).reshape(-1)
+    d_lut_f = _build_lut(d_first, d_limit, d_base, MAX_BITS,
+                         _REV15).reshape(-1)
+    ll_order_f = ll_order.reshape(-1)
+    d_order_f = d_order.reshape(-1)
+
+    # -------------------------------------------- phase B: sub-entry lanes
     len_base = jnp.asarray(C.LENGTH_BASE)
     len_extra = jnp.asarray(C.LENGTH_EXTRA)
-    dist_base = jnp.asarray(C.DIST_BASE)
-    dist_extra = jnp.asarray(C.DIST_EXTRA)
+    dist_base32 = jnp.concatenate([jnp.asarray(C.DIST_BASE),
+                                   jnp.zeros((2,), jnp.int32)])
+    dist_extra32 = jnp.concatenate([jnp.asarray(C.DIST_EXTRA),
+                                    jnp.zeros((2,), jnp.int32)])
 
-    TOK = S + NB
-    tok_kind = jnp.zeros((TOK,), jnp.int32)     # 0 lit, 1 match
-    tok_a = jnp.zeros((TOK,), jnp.int32)        # byte | length
-    tok_d = jnp.zeros((TOK,), jnp.int32)        # dist
-    tok_valid = jnp.zeros((TOK,), jnp.bool_)
+    llanes = jnp.arange(NL, dtype=jnp.int32)
+    lblk = jnp.clip(sub_blk, 0, NB - 1)
+    llive = (llanes < n_subs) & (sub_blk >= 0) & huff[lblk]
+    next_sub = jnp.where(llanes + 1 < n_subs,
+                         sub_out[jnp.clip(llanes + 1, 0, NL - 1)],
+                         jnp.int32(1 << 30))
+    lane_end = jnp.minimum(next_sub, blk_end[lblk])
+    lbad0 = llive & bbad[lblk]
+
+    bp0 = jnp.where(sub_bit >= 0, sub_bit, bp[lblk])
+    ocur0 = sub_out
+    done0 = ~llive | (ocur0 >= lane_end)
+
+    tok0 = jnp.zeros((S + 1,), jnp.int32)
 
     def dec_cond(st):
-        bp, cnt, done, bad, *_ = st
-        return jnp.any(~done & huff & ~bad)
+        bp, ocur, done, lbad, tok, steps = st
+        return jnp.any(~done & ~lbad) & (steps < S + 64)
 
     def dec_body(st):
-        bp, cnt, done, bad, tok_kind, tok_a, tok_d, tok_valid = st
-        act = ~done & huff & ~bad
-        w = _peek32(comp_words, bp)
-        rev = _rev15(w)
-        sym, cl = _decode_symbol(rev, ll_first, ll_limit, ll_base, ll_order,
-                                 lanes, MAX_BITS)
-        bad = bad | (act & (cl == 0))
-        bp1 = bp + cl
-
-        is_eob = sym == C.EOB
+        bp, ocur, done, lbad, tok, steps = st
+        act = ~done & ~lbad
+        lo, hi = _peek64(comp_words, bp)
+        e = ll_lut_f[lblk * _LSZ + (lo & np.uint32(_LSZ - 1)
+                                    ).astype(jnp.int32)]
+        cl = e >> 9
+        lbad = lbad | (act & (cl == 0))
+        sym = ll_order_f[lblk * _N_LL + (e & 0x1FF)]
         is_lit = sym < 256
-        is_len = sym > C.EOB
+        is_eob = sym == C.EOB
+        is_len = (sym > C.EOB) & (sym < 286)
+        lbad = lbad | (act & (sym >= 286))               # RFC: never occurs
 
         li = jnp.clip(sym - 257, 0, 28)
         leb = len_extra[li]
-        w1 = _peek32(comp_words, bp1)
-        lev = (w1 & ((np.uint32(1) << leb.astype(jnp.uint32)) - np.uint32(1))
-               ).astype(jnp.int32)
+        lev = (_extract(lo, hi, cl) & _mask(leb)).astype(jnp.int32)
         mlen = len_base[li] + lev
-        bp2 = bp1 + jnp.where(is_len, leb, 0)
+        off2 = cl + jnp.where(is_len, leb, 0)
 
-        w2 = _peek32(comp_words, bp2)
-        drev = _rev15(w2)
-        dsym, dcl = _decode_symbol(drev, d_first, d_limit, d_base, d_order,
-                                   lanes, MAX_BITS)
-        bad = bad | (act & is_len & (dcl == 0))
-        bp3 = bp2 + jnp.where(is_len, dcl, 0)
-        deb = dist_extra[jnp.clip(dsym, 0, 29)]
-        w3 = _peek32(comp_words, bp3)
-        dev = (w3 & ((np.uint32(1) << deb.astype(jnp.uint32)) - np.uint32(1))
-               ).astype(jnp.int32)
-        mdist = dist_base[jnp.clip(dsym, 0, 29)] + dev
-        bp4 = bp3 + jnp.where(is_len, deb, 0)
+        de = d_lut_f[lblk * _LSZ
+                     + (_extract(lo, hi, off2)
+                        & np.uint32(_LSZ - 1)).astype(jnp.int32)]
+        dcl = de >> 9
+        dsym = d_order_f[lblk * _N_D + (de & 0x1FF)]
+        lbad = lbad | (act & is_len & ((dcl == 0) | (dsym >= 30)))
+        deb = dist_extra32[jnp.clip(dsym, 0, _N_D - 1)]
+        off3 = off2 + dcl
+        dev = (_extract(lo, hi, off3) & _mask(deb)).astype(jnp.int32)
+        mdist = dist_base32[jnp.clip(dsym, 0, _N_D - 1)] + dev
 
         emit = act & (is_lit | is_len)
-        slot = jnp.where(emit, out_start + cnt, TOK)
-        tok_kind = tok_kind.at[slot].set(jnp.where(is_len, 1, 0), mode="drop")
-        tok_a = tok_a.at[slot].set(jnp.where(is_len, mlen, sym), mode="drop")
-        tok_d = tok_d.at[slot].set(jnp.where(is_len, mdist, 0), mode="drop")
-        tok_valid = tok_valid.at[slot].set(True, mode="drop")
+        adv = jnp.where(is_lit, 1, mlen)
+        pack = (jnp.where(is_lit, sym, mlen)
+                | (jnp.where(is_len, mdist, 0) << 9)
+                | (1 << 25)
+                | (jnp.where(is_len, 1, 0) << 26))
+        slot = jnp.where(emit, jnp.clip(ocur, 0, S), S)
+        tok = tok.at[slot].set(jnp.where(emit, pack, tok[jnp.clip(slot, 0, S)]),
+                               mode="drop")
+        ocur2 = jnp.where(emit, ocur + adv, ocur)
+        lbad = lbad | (act & (ocur2 > lane_end))         # token overran lane
+        lbad = lbad | (act & is_eob)                     # EOB before lane end
+        done = done | (act & (ocur2 >= lane_end) & ~lbad)
+        bp2 = bp + cl + jnp.where(is_len, leb + dcl + deb, 0)
+        lbad = lbad | (act & (bp2 > bit_budget))
+        bp = jnp.where(act, bp2, bp)
+        return bp, ocur2, done, lbad, tok, steps + 1
 
-        cnt = jnp.where(emit, cnt + 1, cnt)
-        done = done | (act & is_eob)
-        bp = jnp.where(act, bp4, bp)
-        # runaway guard: token count cannot exceed lane output size
-        bad = bad | (act & (cnt > (out_end - out_start)))
-        return bp, cnt, done, bad, tok_kind, tok_a, tok_d, tok_valid
-
-    done0 = ~huff
-    cnt0 = jnp.zeros((NB,), jnp.int32)
-    st = (bp, cnt0, done0, bad, tok_kind, tok_a, tok_d, tok_valid)
-    bp, cnt, done, bad, tok_kind, tok_a, tok_d, tok_valid = \
-        jax.lax.while_loop(dec_cond, dec_body, st)
+    st = (bp0, ocur0, done0, lbad0, tok0, jnp.int32(0))
+    _, ocur, done, lbad, tok, _ = jax.lax.while_loop(dec_cond, dec_body, st)
+    lbad = lbad | (llive & ~done)                        # unconverged lanes
 
     # ------------------------------------------ phase C: output construction
-    # token output positions: per-lane prefix of token lengths
-    tok_len = jnp.where(tok_valid, jnp.where(tok_kind == 1, tok_a, 1), 0)
-    csum = jnp.cumsum(tok_len) - tok_len
-    lane_first = out_start                                # slot base per lane
-    # lane of each slot: out_start is sorted ascending over live lanes
-    slot_idx = jnp.arange(TOK, dtype=jnp.int32)
-    sorted_starts = jnp.where(live, out_start, S + NB)
-    lane_of_slot = jnp.clip(
-        jnp.searchsorted(sorted_starts, slot_idx, side="right") - 1, 0, NB - 1
-    ).astype(jnp.int32)
-    base_csum = csum[jnp.clip(lane_first, 0, TOK - 1)]
-    out_pos = out_start[lane_of_slot] + (csum - base_csum[lane_of_slot])
-    out_pos = jnp.where(tok_valid, out_pos, S)
-
-    # literal values + match coverage via forward-fill
     j_idx = jnp.arange(S, dtype=jnp.int32)
+    t_valid = ((tok[:S] >> 25) & 1) == 1
+    t_match = ((tok[:S] >> 26) & 1) == 1
+    t_a = tok[:S] & 0x1FF
+    t_d = (tok[:S] >> 9) & 0xFFFF
+
     if prefix is not None:
         plen = prefix_len.astype(jnp.int32)
         W = prefix.shape[0]
-        lit_val = jnp.where(j_idx < plen,
-                            jnp.concatenate(
-                                [prefix.astype(jnp.uint8),
-                                 jnp.zeros((max(S - W, 0),), jnp.uint8)])[:S],
-                            0)
+        pref_pad = jnp.concatenate(
+            [prefix.astype(jnp.uint8),
+             jnp.zeros((max(S - W, 0),), jnp.uint8)])[:S]
+        lit_val = jnp.where(j_idx < plen, pref_pad, 0)
     else:
         plen = jnp.int32(0)
         lit_val = jnp.zeros((S,), jnp.uint8)
-    lit_tgt = jnp.where(tok_valid & (tok_kind == 0), out_pos, S)
-    lit_val = lit_val.at[lit_tgt].set(tok_a.astype(jnp.uint8), mode="drop")
-
-    start_mark = jnp.full((S,), -1, jnp.int32)
-    start_mark = start_mark.at[jnp.where(tok_valid, out_pos, S)].set(
-        jnp.where(tok_valid, out_pos, -1), mode="drop")
-    cover_start = jax.lax.cummax(start_mark)
-    dist_at = jnp.zeros((S,), jnp.int32)
-    dist_at = dist_at.at[jnp.where(tok_valid, out_pos, S)].set(
-        jnp.where(tok_kind == 1, tok_d, 0), mode="drop")
-    d_j = dist_at[jnp.clip(cover_start, 0, S - 1)]
+    lit_val = jnp.where(t_valid & ~t_match, t_a.astype(jnp.uint8), lit_val)
 
     # stored blocks: direct byte copy from the aligned payload
     comp_bytes = jax.lax.bitcast_convert_type(
         comp_words, jnp.uint8).reshape(-1)
-    sto_pay_byte = ((bit_base + 3 + 7) >> 3) + 4          # after LEN/NLEN
-    lane_of_pos = jnp.clip(
-        jnp.searchsorted(sorted_starts, j_idx, side="right") - 1, 0, NB - 1
-    ).astype(jnp.int32)
-    pos_lane_sto = is_sto[lane_of_pos] & (j_idx >= plen)
-    sto_src = jnp.clip(sto_pay_byte[lane_of_pos]
-                       + (j_idx - out_start[lane_of_pos]), 0,
+    sto_pay_byte = ((blk_bit + 3 + 7) >> 3) + 4           # after LEN/NLEN
+    sorted_bstarts = jnp.where(blive, blk_out, jnp.int32(1 << 30))
+    blk_of_pos = jnp.clip(
+        jnp.searchsorted(sorted_bstarts, j_idx, side="right") - 1,
+        0, NB - 1).astype(jnp.int32)
+    pos_sto = is_sto[blk_of_pos] & (j_idx >= plen)
+    sto_src = jnp.clip(sto_pay_byte[blk_of_pos]
+                       + (j_idx - blk_out[blk_of_pos]), 0,
                        comp_bytes.shape[0] - 1)
-    lit_val = jnp.where(pos_lane_sto, comp_bytes[sto_src], lit_val)
+    lit_val = jnp.where(pos_sto, comp_bytes[sto_src], lit_val)
 
-    is_match_pos = (d_j > 0) & ~pos_lane_sto
-    ptr = jnp.where(is_match_pos, j_idx - d_j, j_idx)
-    ptr = jnp.clip(ptr, 0, S - 1)
-    rounds = max(1, int(np.ceil(np.log2(max(S, 2)))))
-    for _ in range(rounds):
-        ptr = ptr[ptr]
+    # covering token per position, then analytic overlap collapse:
+    # byte j of a match token (start s, dist d) originates at
+    # s - d + ((j - s) mod d) — intra-token chains vanish in one step.
+    start_mark = jnp.where(t_valid, j_idx, -1)
+    s_j = jax.lax.cummax(start_mark)
+    s_c = jnp.clip(s_j, 0, S - 1)
+    d_j = jnp.where((s_j >= 0) & t_match[s_c], t_d[s_c], 0)
+    mpos = (d_j > 0) & ~pos_sto & (j_idx >= plen)
+    ds = jnp.maximum(d_j, 1)
+    g = s_c - d_j + jnp.where(mpos, (j_idx - s_c) % ds, 0)
+    bad_dist = jnp.any(mpos & (g < 0) & (j_idx < valid_out))
+    ptr = jnp.where(mpos & (g >= 0), g, j_idx)
+
+    max_rounds = int(np.ceil(np.log2(max(S, 2)))) + 2
+
+    def c_cond(st):
+        p, ch, r = st
+        return ch & (r < max_rounds)
+
+    def c_body(st):
+        p, ch, r = st
+        p2 = p[p]
+        return p2, jnp.any(p2 != p), r + 1
+
+    ptr, unconverged, _ = jax.lax.while_loop(
+        c_cond, c_body, (ptr, jnp.any(ptr != j_idx), jnp.int32(0)))
+
     out = lit_val[ptr]
     out = jnp.where(j_idx < valid_out, out, 0)
 
-    ok = ~jnp.any(bad) & jnp.all(done | ~huff)
-    return {"out": out, "ok": ok, "bad_lanes": bad}
+    ok = (~jnp.any(lbad & llive) & ~jnp.any(bbad & blive)
+          & ~bad_dist & ~unconverged)
+    return {"out": out, "ok": ok, "bad_lanes": lbad}
+
+
+def decode_shard_indexed(comp_words, bit_base, out_start, btype, n_blocks,
+                         valid_out, out_size, prefix=None, prefix_len=None):
+    """Back-compat wrapper: one lane per block (no sub-entries). Prefer
+    decode_blocks with encoder-emitted sub-entries for throughput."""
+    NB = bit_base.shape[0]
+    lanes = jnp.arange(NB, dtype=jnp.int32)
+    hufflane = (btype == C.BTYPE_DYNAMIC) | (btype == C.BTYPE_FIXED)
+    sub_blk = jnp.where(hufflane, lanes, -1)
+    return decode_blocks(comp_words, bit_base, out_start, btype, n_blocks,
+                         jnp.full((NB,), -1, jnp.int32), out_start, sub_blk,
+                         n_blocks, valid_out, out_size,
+                         prefix=prefix, prefix_len=prefix_len)

@@ -237,8 +237,9 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
         split = jnp.ones((NB,), jnp.bool_)   # LEN is 16-bit: one per tile
     elif adaptive_blocks and NB > 1:
         from ..core.cost import block_plan
+        tile_bytes = jnp.clip(valid_len - b_idx * BLOCK, 0, BLOCK)
         split, _ = block_plan(ll_freq_micro, d_freq_micro, LB_micro + 1,
-                              max_merge=max_merge)
+                              max_merge=max_merge, tile_bytes=tile_bytes)
         split = split.at[0].set(True)
     else:
         split = jnp.ones((NB,), jnp.bool_)
@@ -525,6 +526,24 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
 
     words = bits_mod.pack_items64_to_words(lo, hi, nbits, offsets, OUT_WORDS)
 
+    # ---------------------------------------------- sub-block decode entries
+    # A (bit, out) checkpoint at the first token on/after every SUB_SIZE
+    # output boundary: free here (token bit offsets are already computed) and
+    # they multiply the TPU decoder's parallel lanes (decode/tpu_inflate.py
+    # phase B). Boundaries are < 4096+258 apart, so entries are distinct.
+    SUB_SIZE = 4096
+    NSUB = S // SUB_SIZE
+    nxt_tok = jnp.where(chosen, pos, S)
+    first_tok = jnp.flip(jax.lax.cummin(jnp.flip(nxt_tok)))
+    bnd = jnp.arange(NSUB, dtype=jnp.int32) * SUB_SIZE
+    entry_pos = first_tok[bnd]
+    ep_c = jnp.clip(entry_pos, 0, S - 1)
+    entry_blk = blk_of_pos[ep_c]
+    entry_slot = jnp.clip(cs_excl[ep_c] + entry_blk, 0, T - 1)
+    entry_bit = tok_offs[entry_slot]
+    ev = ((entry_pos < valid_len) & b_emitted[entry_blk]
+          & (btype[entry_blk] != C.BTYPE_STORED))
+
     n_tokens = jnp.sum(tok_valid.astype(jnp.int32))
     n_matches = jnp.sum(tok_is_match.astype(jnp.int32))
     stats = {
@@ -539,6 +558,10 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
         "block_bit_base": jnp.where(b_emitted, block_base, 0),
         "block_out_start": jnp.where(b_emitted, start_pos_b, 0),
         "n_blocks": LB + 1,
+        # sub-block decode entries (shard-relative; -1/huge = dead entry)
+        "sub_bit": jnp.where(ev, entry_bit, -1),
+        "sub_out": jnp.where(ev, entry_pos, jnp.int32(1 << 30)),
+        "sub_blk": jnp.where(ev, entry_blk, -1),
     }
     return {"words": words, "total_bits": total_bits, **stats}
 
