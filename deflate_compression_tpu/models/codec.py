@@ -10,6 +10,7 @@ rate = compressed_bits / input_bytes (deflate_ext.h:29-30).
 from __future__ import annotations
 
 import dataclasses
+import logging
 
 import numpy as np
 import jax.numpy as jnp
@@ -21,6 +22,9 @@ from ..format import containers
 from ..format.deflate import BLOCK, encode_shard_jit
 from ..utils.config import CodecConfig, DEFAULT_CONFIG
 from ..utils.errors import DeflateError
+from ..utils.logging_util import MetricsRecorder
+
+_LOG = logging.getLogger("deflate_compression_tpu.models.codec")
 
 
 @dataclasses.dataclass
@@ -62,6 +66,7 @@ class DeflateCodec:
 
     def __init__(self, config: CodecConfig = DEFAULT_CONFIG):
         self.config = config
+        self.metrics = MetricsRecorder()    # SURVEY §5.5 observability
 
     # -------------------------------------------------------------- encode
     def _encode_shards(self, raw: bytes):
@@ -101,6 +106,13 @@ class DeflateCodec:
             stats.tree_bits += int(np.asarray(r["tree_bits"]).sum())
             stats.block_bits += [int(x) for x in np.asarray(r["block_bits"])[emitted]]
             stats.block_bytes += [int(x) for x in np.asarray(r["block_bytes"])[emitted]]
+            self.metrics.record("shard_bytes", vl)
+            self.metrics.record("shard_bits", tb)
+            _LOG.debug("shard %d/%d: %d bytes -> %d bits (%d blocks)",
+                       s + 1, nsh, vl, tb, int(emitted.sum()))
+        for bb, bits in zip(stats.block_bytes, stats.block_bits):
+            self.metrics.record("block_bytes", bb)
+            self.metrics.record("block_bits", bits)
         stats.btype_counts = tuple(btc)
         return parts, stats
 

@@ -78,6 +78,7 @@ def tile_histogram(symbols: jnp.ndarray, num_classes: int, tile: int,
 
 def tile_histogram_auto(symbols: jnp.ndarray, num_classes: int,
                         tile: int) -> jnp.ndarray:
-    """Use the Pallas kernel on TPU, interpret mode elsewhere."""
-    on_tpu = jax.default_backend() == "tpu"
+    """Use the Pallas kernel on TPU (incl. the tunneled 'axon' platform),
+    interpret mode on CPU."""
+    on_tpu = jax.default_backend() not in ("cpu",)
     return tile_histogram(symbols, num_classes, tile, interpret=not on_tpu)

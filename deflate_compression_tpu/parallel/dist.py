@@ -23,6 +23,7 @@ DEFLATE format:
 from __future__ import annotations
 
 import functools
+import logging
 
 import numpy as np
 import jax
@@ -35,6 +36,7 @@ from ..format import containers
 from ..format.deflate import BLOCK, encode_shard, out_words
 
 AXIS = "shards"
+_LOG = logging.getLogger("deflate_compression_tpu.parallel.dist")
 
 
 def make_mesh(devices=None) -> Mesh:
@@ -168,6 +170,8 @@ def compress_distributed(raw: bytes, mesh: Mesh | None = None,
                 last_err = None
                 break
             except Exception as e:  # deterministic re-encode on any fault
+                _LOG.warning("wave %d attempt %d failed: %s",
+                             wave // D, attempt, e)
                 last_err = e
         if last_err is not None:
             from ..utils.errors import DistError
@@ -175,6 +179,8 @@ def compress_distributed(raw: bytes, mesh: Mesh | None = None,
                 "E_SHARD",
                 f"wave {wave // D} failed after {max_retries + 1} attempts: "
                 f"{last_err}")
+        _LOG.debug("wave %d: %d shards -> %d bytes", wave // D, wave_n,
+                   int(shard_bytes[:wave_n].sum()))
         off = 0
         for k in range(D):
             sz = int(shard_bytes[k])
