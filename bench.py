@@ -209,6 +209,74 @@ def main():
 
     print(f"# ours: {ours_mbps:.2f} MB/s ratio {ratio:.4f}; "
           f"zlib-6: {z_mbps:.1f} MB/s ratio {z_ratio:.4f}", file=sys.stderr)
+
+    # ---------------- device decode benchmark (DECODE_rNN.json side artifact)
+    # Encode once more keeping words + the .dcx-equivalent index ON DEVICE
+    # (block offsets + sub-entries are exactly what the .dcx sidecar stores),
+    # then time decode_blocks over all shards. The salt perturbs a capacity-
+    # padding word beyond the real stream: new input fingerprint for the
+    # tunnel's execution cache, identical decode work.
+    try:
+        from deflate_compression_tpu.decode.tpu_inflate import decode_blocks
+
+        @jax.jit
+        def enc_keep(batch):
+            def one(row, fin):
+                r = encode_shard(row, jnp.int32(SHARD), fin)
+                return (r["words"], r["block_bit_base"],
+                        r["block_out_start"], r["btype"], r["n_blocks"],
+                        r["sub_bit"], r["sub_out"], r["sub_blk"])
+            fins = jnp.arange(batch.shape[0]) == batch.shape[0] - 1
+            return jax.vmap(one)(batch, fins)
+
+        @jax.jit
+        def dec_all(words, bb, bo, bt, nb, sb, so, sk, salt):
+            words = words.at[:, -1].add(salt.astype(jnp.uint32))
+
+            def one(w, bb1, bo1, bt1, nb1, sb1, so1, sk1):
+                r = decode_blocks(w, bb1, bo1, bt1, nb1, sb1, so1, sk1,
+                                  jnp.int32(sb1.shape[0]), jnp.int32(SHARD),
+                                  SHARD)
+                return r["ok"], jnp.sum(r["out"], dtype=jnp.uint32)
+            return jax.vmap(one)(words, bb, bo, bt, nb, sb, so, sk)
+
+        with _alarm_guard(280):
+            enc_out = enc_keep(dbatch)
+            jax.block_until_ready(enc_out)
+            dex = jax.jit(dec_all.__wrapped__).lower(
+                *[jax.ShapeDtypeStruct(x.shape, x.dtype) for x in enc_out],
+                jax.ShapeDtypeStruct((), jnp.uint32)).compile()
+        dbest = None
+        oks = None
+        outsum = None
+        for rep in range(2):
+            with _alarm_guard(150):
+                t0 = time.perf_counter()
+                oks, outsum = dex(*enc_out, jnp.uint32(rep + 1))
+                oks = np.asarray(oks)
+                outsum = np.asarray(outsum)
+                dt = time.perf_counter() - t0
+            dbest = dt if dbest is None else min(dbest, dt)
+        want = shards.astype(np.uint32).sum(axis=1)
+        dec_ok = bool(oks.all()) and bool(
+            (outsum == (want & 0xFFFFFFFF)).all())
+        dec_mbps = n / dbest / 1e6
+
+        t0 = time.perf_counter()
+        _ = zlib.decompress(zcomp)
+        zd_mbps = n / (time.perf_counter() - t0) / 1e6
+        print(f"# device decode: {dec_mbps:.2f} MB/s (ok={dec_ok}); "
+              f"zlib host inflate: {zd_mbps:.1f} MB/s", file=sys.stderr)
+        drec = {"metric": "decode_throughput", "value": round(dec_mbps, 2),
+                "unit": "MB/s", "verified": dec_ok,
+                "vs_baseline": round(dec_mbps / zd_mbps, 3)}
+        with open("/root/repo/DECODE_r03.json", "w") as f:
+            json.dump(drec, f)
+    except TimeoutError:
+        print("# decode bench wedged; skipped", file=sys.stderr)
+    except Exception as e:  # decode bench must never break the contract line
+        print(f"# decode bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
     rec = {
         "metric": "encode_throughput",
         "value": round(ours_mbps, 2),

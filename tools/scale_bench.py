@@ -1,0 +1,167 @@
+"""Scale evidence for BASELINE configs 4/5 (SCALE.md artifact).
+
+Modes:
+  tpu  — 100 MB mixed corpus through the adaptive-split encoder on the single
+         real TPU chip, chunked in device-resident waves. The corpus is the
+         2 MB bench corpus tiled 50x ON DEVICE (the axon tunnel moves
+         ~40 KB/s; uploading 100 MB is a non-starter, and shards are
+         window-independent so tiling measures the same per-byte work).
+         Reports throughput + ratio vs host zlib-6 on the identical corpus.
+  cpu  — scaling efficiency on the 8-device virtual CPU mesh: the same wave
+         of shards through parallel/dist.encode_sharded on a 1-device vs
+         8-device mesh (XLA_FLAGS=--xla_force_host_platform_device_count=8).
+
+Run one mode per process; never concurrently with a TPU bench.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+SHARD = 1 << 18
+BASE_SHARDS = 8                 # 2 MB uploaded base
+TILE = 50                       # -> 100 MB on device
+
+
+def _alarm(seconds):
+    import signal
+
+    class _G:
+        def __enter__(self):
+            signal.signal(signal.SIGALRM,
+                          lambda s, f: (_ for _ in ()).throw(TimeoutError()))
+            signal.alarm(seconds)
+
+        def __exit__(self, *a):
+            signal.alarm(0)
+            return False
+    return _G()
+
+
+def run_tpu():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import zlib
+    from deflate_compression_tpu.format.deflate import encode_shard
+    from bench import build_corpus
+
+    base = build_corpus(SHARD * BASE_SHARDS)
+    shards = np.frombuffer(base, np.uint8).reshape(BASE_SHARDS, SHARD)
+    dev = jax.devices()[0]
+    print(f"# device: {dev}", file=sys.stderr)
+
+    dbase = jax.device_put(jnp.asarray(shards), dev)
+    jax.block_until_ready(dbase)
+    with _alarm(240):
+        _ = int(np.asarray(jnp.sum(dbase.astype(jnp.uint32))))
+    print("# base uploaded", file=sys.stderr)
+
+    # Waves of 16 shards (4 MB per dispatch); 25 waves = 100 MB. Each wave
+    # re-derives its rows from the device-resident base with a wave-dependent
+    # salt so the execution cache cannot shortcut any wave.
+    WAVE = 16
+    NWAVES = (BASE_SHARDS * TILE) // WAVE
+
+    @jax.jit
+    def wave_encode(dbase, salt):
+        rows = jnp.tile(dbase, (WAVE // BASE_SHARDS, 1))
+        rows = rows.at[:, 0].set(salt + jnp.arange(WAVE, dtype=jnp.uint8))
+
+        def one(row):
+            r = encode_shard(row, jnp.int32(SHARD), jnp.asarray(False))
+            return r["total_bits"]
+        return jax.vmap(one)(rows)
+
+    ex = jax.jit(wave_encode.__wrapped__).lower(
+        jax.ShapeDtypeStruct(dbase.shape, jnp.uint8),
+        jax.ShapeDtypeStruct((), jnp.uint8)).compile()
+
+    total_bits = 0
+    t0 = time.perf_counter()
+    for w in range(NWAVES):
+        with _alarm(200):
+            tb = ex(dbase, jnp.uint8(w + 1))
+            total_bits += int(np.asarray(tb).sum())
+    dt = time.perf_counter() - t0
+    n = WAVE * SHARD * NWAVES
+    mbps = n / dt / 1e6
+    ratio = (total_bits / 8) / n
+
+    corpus100 = base * TILE
+    t0 = time.perf_counter()
+    z = zlib.compress(corpus100, 6)
+    zdt = time.perf_counter() - t0
+    z_mbps = len(corpus100) / zdt / 1e6
+    z_ratio = (len(z) - 6) / len(corpus100)
+
+    rec = {"mode": "tpu_100mb", "bytes": n, "seconds": round(dt, 2),
+           "mb_per_s": round(mbps, 2), "ratio": round(ratio, 5),
+           "zlib6_mb_per_s": round(z_mbps, 1),
+           "zlib6_ratio": round(z_ratio, 5),
+           "waves": NWAVES, "wave_shards": WAVE}
+    print(json.dumps(rec))
+    with open("/root/repo/.scale_tpu.json", "w") as f:
+        json.dump(rec, f)
+
+
+def run_cpu():
+    import os
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8")
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from deflate_compression_tpu.parallel import dist
+    from bench import build_corpus
+
+    base = build_corpus(SHARD * 8)
+    shards = np.frombuffer(base, np.uint8).reshape(8, SHARD)
+
+    def timed(ndev, reps=3):
+        mesh = dist.make_mesh(jax.devices("cpu")[:ndev])
+        rows = shards[:ndev]
+        sh2 = NamedSharding(mesh, P(dist.AXIS, None))
+        sh1 = NamedSharding(mesh, P(dist.AXIS))
+        vls = jnp.full((ndev,), SHARD, jnp.int32)
+        fins = jnp.zeros((ndev,), bool)
+        d = jax.device_put(jnp.asarray(rows), sh2)
+        v = jax.device_put(vls, sh1)
+        f = jax.device_put(fins, sh1)
+        r = dist.encode_sharded(d, v, f, mesh)          # compile + warm
+        jax.block_until_ready(r["out_bytes"])
+        best = None
+        for i in range(reps):
+            d2 = jax.device_put(jnp.asarray(
+                np.bitwise_xor(rows, np.uint8(i + 1))), sh2)
+            jax.block_until_ready(d2)
+            t0 = time.perf_counter()
+            r = dist.encode_sharded(d2, v, f, mesh)
+            jax.block_until_ready(r["out_bytes"])
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    t1 = timed(1)
+    t8 = timed(8)
+    # efficiency: 8 devices process 8x the bytes; perfect scaling => t8 == t1
+    eff = t1 / t8
+    rec = {"mode": "cpu_mesh", "t1_1shard_s": round(t1, 3),
+           "t8_8shards_s": round(t8, 3),
+           "scaling_efficiency": round(eff, 3)}
+    print(json.dumps(rec))
+    with open("/root/repo/.scale_cpu.json", "w") as f:
+        json.dump(rec, f)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "cpu":
+        run_cpu()
+    else:
+        run_tpu()
