@@ -39,6 +39,39 @@ def histogram(symbols: jnp.ndarray, num_classes: int,
     return counts[:num_classes].astype(jnp.int32)
 
 
+def histogram_rows_matmul(sym: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+    """Per-row histogram via one-hot × ones on the MXU: (M, L) i32 symbols ->
+    (M, num_classes) i32 counts. Out-of-range symbols (e.g. masked-out
+    positions mapped to num_classes) match no class and drop out for free.
+
+    The XLA scatter-add histogram is descriptor-bound (~100M elem/s measured,
+    ROADMAP); this formulation is HBM-bandwidth-bound instead: the one-hot is
+    generated and consumed inside the dot fusion. int8 × int8 -> int32 keeps
+    counts exact (L <= 2^23 per row ensures no overflow anywhere near i32).
+    """
+    M, L = sym.shape
+    cls = jnp.arange(num_classes, dtype=jnp.int32)
+    oh = (sym[:, :, None] == cls[None, None, :]).astype(jnp.int8)
+    ones = jnp.ones((M, 1, L), jnp.int8)
+    out = jax.lax.dot_general(ones, oh, (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.int32)
+    return out[:, 0, :]
+
+
+def rows_matvec_onehot(sym: jnp.ndarray, tab: jnp.ndarray) -> jnp.ndarray:
+    """Per-row table lookup on the MXU: out[m, l] = tab[m, sym[m, l]],
+    out-of-range symbols -> 0. sym (M, L) i32, tab (M, C) with values
+    < 2^24 (f32-exact). The random gather this replaces runs at ~100M
+    elem/s (descriptor-bound); the one-hot dot is HBM-bound instead."""
+    Cn = tab.shape[1]
+    cls = jnp.arange(Cn, dtype=jnp.int32)
+    oh = (sym[:, :, None] == cls[None, None, :]).astype(jnp.float32)
+    out = jax.lax.dot_general(oh, tab.astype(jnp.float32)[:, :, None],
+                              (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    return out[:, :, 0].astype(jnp.uint32)
+
+
 def _package_merge_lengths(leaf_w: jnp.ndarray, k: jnp.ndarray, n: int,
                            max_bits: int) -> jnp.ndarray:
     """Optimal length-limited code lengths via dense package-merge.

@@ -36,7 +36,7 @@ from ..utils.errors import DeflateError
 
 _MAGIC = b"DCXI"
 _VERSION = 2
-SUB_SIZE = 4096
+SUB_SIZE = 1024
 
 
 @dataclasses.dataclass

@@ -48,7 +48,7 @@ import jax.numpy as jnp
 from ..format import constants as C
 
 MAX_BITS = 15
-SUB_SIZE = 4096                  # sub-block entry spacing (output bytes)
+SUB_SIZE = 1024                  # sub-block entry spacing (output bytes)
 _LSZ = 1 << MAX_BITS
 _N_LL = 288                      # decode-side litlen alphabet (286/287 bad)
 _N_D = 32                        # decode-side dist alphabet (30/31 bad)
@@ -104,6 +104,32 @@ def _peek64(words: jnp.ndarray, bit_pos: jnp.ndarray):
     nz = sh > 0
     lo = (w0 >> sh) | jnp.where(nz, w1 << up, np.uint32(0))
     hi = (w1 >> sh) | jnp.where(nz, w2 << up, np.uint32(0))
+    return lo, hi
+
+
+def _halfwords(words: jnp.ndarray) -> jnp.ndarray:
+    """u32[W] -> u32[2W] at HALF-WORD granularity: hw[i] covers stream bits
+    [16i, 16i+32). Built once, elementwise; lets the symbol loop fetch a
+    48-bit window with TWO gathers instead of three (_peek48)."""
+    w = words.astype(jnp.uint32)
+    nxt = jnp.concatenate([w[1:], jnp.zeros((1,), jnp.uint32)])
+    odd = (w >> np.uint32(16)) | (nxt << np.uint32(16))
+    return jnp.stack([w, odd], axis=1).reshape(-1)
+
+
+def _peek48(hw: jnp.ndarray, bit_pos: jnp.ndarray):
+    """48-bit LSB-first window as (lo, hi) u32 pair from the half-word table
+    (2 gathers; hi carries >= 16 valid bits, enough for any DEFLATE token
+    tail: cl+leb+dcl+deb <= 48)."""
+    H = hw.shape[0]
+    i = jnp.clip(bit_pos >> 4, 0, H - 1)
+    sh = (bit_pos & 15).astype(jnp.uint32)
+    a = hw[i]
+    b = hw[jnp.clip(i + 2, 0, H - 1)]
+    lo = (a >> sh) | jnp.where(sh > 0,
+                               b << ((np.uint32(32) - sh) & np.uint32(31)),
+                               np.uint32(0))
+    hi = b >> sh
     return lo, hi
 
 
@@ -325,16 +351,37 @@ def decode_blocks(comp_words: jnp.ndarray,
                           _REV15).reshape(-1)
     d_lut_f = _build_lut(d_first, d_limit, d_base, MAX_BITS,
                          _REV15).reshape(-1)
-    ll_order_f = ll_order.reshape(-1)
-    d_order_f = d_order.reshape(-1)
 
-    # -------------------------------------------- phase B: sub-entry lanes
+    # Rank -> payload tables, built ONCE per decode (tiny NB×288 gathers):
+    # the symbol loop then needs exactly TWO gathers per alphabet (flat LUT
+    # for rank|cl, payload for everything else) instead of gathering order,
+    # base and extra tables separately every step.
+    #   litlen payload: val(9: literal byte or len_base) | leb(3)<<9
+    #                   | kind(2)<<12  (0=lit, 1=eob, 2=len, 3=bad)
+    #   dist payload:   dbase(15) | deb(4)<<15 | bad(1)<<19
     len_base = jnp.asarray(C.LENGTH_BASE)
     len_extra = jnp.asarray(C.LENGTH_EXTRA)
-    dist_base32 = jnp.concatenate([jnp.asarray(C.DIST_BASE),
-                                   jnp.zeros((2,), jnp.int32)])
-    dist_extra32 = jnp.concatenate([jnp.asarray(C.DIST_EXTRA),
-                                    jnp.zeros((2,), jnp.int32)])
+    lsym = ll_order                                     # (NB, 288)
+    li_t = jnp.clip(lsym - 257, 0, 28)
+    l_kind = jnp.where(lsym < 256, 0,
+                       jnp.where(lsym == C.EOB, 1,
+                                 jnp.where(lsym < 286, 2, 3)))
+    l_val = jnp.where(l_kind == 0, lsym,
+                      jnp.where(l_kind == 2, len_base[li_t], 0))
+    l_eb = jnp.where(l_kind == 2, len_extra[li_t], 0)
+    ll_pay_f = (l_val | (l_eb << 9) | (l_kind << 12)).reshape(-1)
+
+    dist_base = jnp.asarray(C.DIST_BASE)
+    dist_extra = jnp.asarray(C.DIST_EXTRA)
+    dsym_t = d_order                                    # (NB, 32)
+    di_t = jnp.clip(dsym_t, 0, 29)
+    d_bad_t = (dsym_t >= 30).astype(jnp.int32)
+    d_pay_f = (jnp.where(d_bad_t == 0, dist_base[di_t], 0)
+               | (jnp.where(d_bad_t == 0, dist_extra[di_t], 0) << 15)
+               | (d_bad_t << 19)).reshape(-1)
+
+    # -------------------------------------------- phase B: sub-entry lanes
+    hw = _halfwords(comp_words)
 
     llanes = jnp.arange(NL, dtype=jnp.int32)
     lblk = jnp.clip(sub_blk, 0, NB - 1)
@@ -351,44 +398,41 @@ def decode_blocks(comp_words: jnp.ndarray,
 
     tok0 = jnp.zeros((S + 1,), jnp.int32)
 
-    def dec_cond(st):
-        bp, ocur, done, lbad, tok, steps = st
-        return jnp.any(~done & ~lbad) & (steps < S + 64)
-
-    def dec_body(st):
-        bp, ocur, done, lbad, tok, steps = st
+    def one_sym(bp, ocur, done, lbad, tok):
+        """Decode one symbol in every live lane: 7 descriptor ops total
+        (2-gather peek48, 2 gathers per alphabet, 1 token scatter)."""
         act = ~done & ~lbad
-        lo, hi = _peek64(comp_words, bp)
+        lo, hi = _peek48(hw, bp)
         e = ll_lut_f[lblk * _LSZ + (lo & np.uint32(_LSZ - 1)
                                     ).astype(jnp.int32)]
         cl = e >> 9
         lbad = lbad | (act & (cl == 0))
-        sym = ll_order_f[lblk * _N_LL + (e & 0x1FF)]
-        is_lit = sym < 256
-        is_eob = sym == C.EOB
-        is_len = (sym > C.EOB) & (sym < 286)
-        lbad = lbad | (act & (sym >= 286))               # RFC: never occurs
+        pay = ll_pay_f[lblk * _N_LL + (e & 0x1FF)]
+        kind = pay >> 12                                 # 0 lit/1 eob/2 len/3 bad
+        is_lit = kind == 0
+        is_eob = kind == 1
+        is_len = kind == 2
+        lbad = lbad | (act & (kind == 3))                # RFC: never occurs
 
-        li = jnp.clip(sym - 257, 0, 28)
-        leb = len_extra[li]
+        leb = (pay >> 9) & 0x7
         lev = (_extract(lo, hi, cl) & _mask(leb)).astype(jnp.int32)
-        mlen = len_base[li] + lev
+        mlen = (pay & 0x1FF) + lev
         off2 = cl + jnp.where(is_len, leb, 0)
 
         de = d_lut_f[lblk * _LSZ
                      + (_extract(lo, hi, off2)
                         & np.uint32(_LSZ - 1)).astype(jnp.int32)]
         dcl = de >> 9
-        dsym = d_order_f[lblk * _N_D + (de & 0x1FF)]
-        lbad = lbad | (act & is_len & ((dcl == 0) | (dsym >= 30)))
-        deb = dist_extra32[jnp.clip(dsym, 0, _N_D - 1)]
+        dpay = d_pay_f[lblk * _N_D + (de & 0x1FF)]
+        lbad = lbad | (act & is_len & ((dcl == 0) | (dpay >> 19 != 0)))
+        deb = (dpay >> 15) & 0xF
         off3 = off2 + dcl
         dev = (_extract(lo, hi, off3) & _mask(deb)).astype(jnp.int32)
-        mdist = dist_base32[jnp.clip(dsym, 0, _N_D - 1)] + dev
+        mdist = (dpay & 0x7FFF) + dev
 
         emit = act & (is_lit | is_len)
         adv = jnp.where(is_lit, 1, mlen)
-        pack = (jnp.where(is_lit, sym, mlen)
+        pack = (jnp.where(is_lit, pay & 0x1FF, mlen)
                 | (jnp.where(is_len, mdist, 0) << 9)
                 | (1 << 25)
                 | (jnp.where(is_len, 1, 0) << 26))
@@ -402,7 +446,20 @@ def decode_blocks(comp_words: jnp.ndarray,
         bp2 = bp + cl + jnp.where(is_len, leb + dcl + deb, 0)
         lbad = lbad | (act & (bp2 > bit_budget))
         bp = jnp.where(act, bp2, bp)
-        return bp, ocur2, done, lbad, tok, steps + 1
+        return bp, ocur2, done, lbad, tok
+
+    UNROLL = 4
+    max_steps = S + 64
+
+    def dec_cond(st):
+        bp, ocur, done, lbad, tok, steps = st
+        return jnp.any(~done & ~lbad) & (steps < max_steps)
+
+    def dec_body(st):
+        bp, ocur, done, lbad, tok, steps = st
+        for _ in range(UNROLL):                  # amortize loop overhead
+            bp, ocur, done, lbad, tok = one_sym(bp, ocur, done, lbad, tok)
+        return bp, ocur, done, lbad, tok, steps + UNROLL
 
     st = (bp0, ocur0, done0, lbad0, tok0, jnp.int32(0))
     _, ocur, done, lbad, tok, _ = jax.lax.while_loop(dec_cond, dec_body, st)

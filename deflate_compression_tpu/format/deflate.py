@@ -217,18 +217,16 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     # -------------------------------------------------------- block planning
     # Per-tile histograms at position granularity: sufficient statistics for
     # the split DP AND (segment-summed) for the per-block Huffman trees, so
-    # the token-slot arrays never need re-histogramming. Both alphabets ride
-    # ONE scatter-add (litlen keys then dist keys in a shared key space).
-    n_ll_keys = NB * C.NUM_LITLEN
-    n_keys = n_ll_keys + NB * C.NUM_DIST
-    mk_ll = jnp.where(chosen, micro_of_pos * C.NUM_LITLEN + ll_sym_pos,
-                      n_keys)
-    mk_d = jnp.where(is_match,
-                     n_ll_keys + micro_of_pos * C.NUM_DIST + d_sym_pos,
-                     n_keys)
-    freq_micro = huffman.histogram(jnp.concatenate([mk_ll, mk_d]), n_keys)
-    ll_freq_micro = freq_micro[:n_ll_keys].reshape(NB, C.NUM_LITLEN)
-    d_freq_micro = freq_micro[n_ll_keys:].reshape(NB, C.NUM_DIST)
+    # the token-slot arrays never need re-histogramming. Computed on the MXU
+    # (one-hot × ones, core/huffman.histogram_rows_matmul) — HBM-bound
+    # instead of scatter-descriptor-bound; masked positions map to the
+    # dropped class num_classes.
+    ll_sym_t = jnp.where(chosen, ll_sym_pos, C.NUM_LITLEN)
+    ll_freq_micro = huffman.histogram_rows_matmul(
+        ll_sym_t.reshape(NB, BLOCK), C.NUM_LITLEN)
+    d_sym_t = jnp.where(is_match, d_sym_pos, C.NUM_DIST)
+    d_freq_micro = huffman.histogram_rows_matmul(
+        d_sym_t.reshape(NB, BLOCK), C.NUM_DIST)
 
     if force_btype == C.BTYPE_FIXED and NB > 1:
         # fixed blocks carry no tree description: one block for the shard
@@ -268,37 +266,7 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     cs_incl = cs_excl + chosen.astype(jnp.int32)
     eob_slot = cs_incl[end_pos_b - 1] + b_idx
 
-    # Scatter token fields bit-packed into TWO words per slot, via ONE row
-    # scatter (scatters are ~100M descriptors/s on TPU; a (T,2) row write is
-    # one descriptor per position instead of two):
-    #   A: ll_sym(9) | ll_ev(5)<<9 | ll_eb(3)<<14 | valid<<17 | is_match<<18
-    #   B: d_sym(5) | d_ev(13)<<5 | d_eb(4)<<18 | blk<<22  (NB <= 512)
     assert NB <= 512
-    packA_pos = (ll_sym_pos | (ll_ev_pos << 9) | (ll_eb_pos << 14)
-                 | (1 << 17) | (is_match.astype(jnp.int32) << 18))
-    packB_pos = (d_sym_pos | (d_ev_pos << 5) | (d_eb_pos << 18)
-                 | (blk_of_pos << 22))
-    tgt = jnp.where(chosen, slot, T)        # row T is the garbage sink
-    packAB = jnp.zeros((T + 1, 2), jnp.int32).at[tgt].set(
-        jnp.stack([packA_pos, packB_pos], axis=1))
-
-    # EOB tokens (symbol 256) per emitted block.
-    eob_tgt = jnp.where(b_emitted, eob_slot, T)
-    packAB = packAB.at[eob_tgt].set(
-        jnp.stack([jnp.full((NB,), C.EOB | (1 << 17), jnp.int32),
-                   b_idx << 22], axis=1))
-    packA = packAB[:T, 0]
-    packB = packAB[:T, 1]
-
-    ll_sym = packA & 0x1FF
-    ll_ev = (packA >> 9) & 0x1F
-    ll_eb = (packA >> 14) & 0x7
-    tok_valid = (packA >> 17) & 1 == 1
-    tok_is_match = (packA >> 18) & 1 == 1
-    d_sym = packB & 0x1F
-    d_ev = (packB >> 5) & 0x1FFF
-    d_eb = (packB >> 18) & 0xF
-    tok_blk = (packB >> 22) & 0x1FF
 
     # ------------------------------------------------------- histograms/trees
     # Per-block histograms = segment-sum of the tile histograms (NB-row
@@ -401,29 +369,65 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     d_tab = d_code_rev | (d_len_eff.astype(jnp.uint32) << np.uint32(16))
 
     # ------------------------------------------------------------ token items
-    flat_ll = (tok_blk * C.NUM_LITLEN + ll_sym).reshape(-1)
-    tk_ll = ll_tab.reshape(-1)[flat_ll]
-    tk_ll_bits = (tk_ll >> np.uint32(16)).astype(jnp.int32)
-    tk_ll_code = tk_ll & np.uint32(0xFFFF)
-    flat_d = (tok_blk * C.NUM_DIST + d_sym).reshape(-1)
-    tk_d = d_tab.reshape(-1)[flat_d]
-    tk_d_bits = (tk_d >> np.uint32(16)).astype(jnp.int32)
-    tk_d_code = tk_d & np.uint32(0xFFFF)
+    # Items are FINISHED at position granularity — table values come off the
+    # MXU (rows_matvec_onehot), so no T-sized random gathers — and the single
+    # position->slot row scatter below carries the completed 48-bit items:
+    #   A: item bits [0, 32)
+    #   B: item bits [32, 48) | nbits(6) << 16 | blk(9) << 22   (NB <= 512)
+    tabv_ll = huffman.rows_matvec_onehot(
+        ll_sym_t.reshape(NB, BLOCK),
+        ll_tab[blk_id_micro]).reshape(S)                 # code_rev | len<<16
+    tabv_d = huffman.rows_matvec_onehot(
+        d_sym_t.reshape(NB, BLOCK), d_tab[blk_id_micro]).reshape(S)
 
-    huff_blk = (btype != C.BTYPE_STORED)[tok_blk] & tok_valid & b_emitted[tok_blk]
+    huff_pos = (btype != C.BTYPE_STORED)[blk_of_pos] & b_emitted[blk_of_pos]
 
-    # ONE 48-bit item per token slot: litlen code+extra (<= 20 bits) in the
-    # low bits, dist code+extra (<= 28 bits) above it — halves the item
-    # count and the offset cumsum vs two 32-bit items per token.
-    it_ll_val = (tk_ll_code | (ll_ev.astype(jnp.uint32) << tk_ll_bits.astype(jnp.uint32)))
-    it_ll_nb = jnp.where(huff_blk, tk_ll_bits + ll_eb, 0)
-    it_d_val = (tk_d_code | (d_ev.astype(jnp.uint32) << tk_d_bits.astype(jnp.uint32)))
-    it_d_nb = jnp.where(huff_blk & tok_is_match, tk_d_bits + d_eb, 0)
+    tk_ll_bits = (tabv_ll >> np.uint32(16)).astype(jnp.int32)
+    tk_ll_code = tabv_ll & np.uint32(0xFFFF)
+    tk_d_bits = (tabv_d >> np.uint32(16)).astype(jnp.int32)
+    tk_d_code = tabv_d & np.uint32(0xFFFF)
+
+    # ONE 48-bit item per token: litlen code+extra (<= 20 bits) in the low
+    # bits, dist code+extra (<= 28 bits) above it.
+    it_ll_val = (tk_ll_code
+                 | (ll_ev_pos.astype(jnp.uint32) << tk_ll_bits.astype(jnp.uint32)))
+    it_ll_nb = jnp.where(huff_pos, tk_ll_bits + ll_eb_pos, 0)
+    it_d_val = (tk_d_code
+                | (d_ev_pos.astype(jnp.uint32) << tk_d_bits.astype(jnp.uint32)))
+    it_d_nb = jnp.where(huff_pos & is_match, tk_d_bits + d_eb_pos, 0)
 
     sh_a = it_ll_nb.astype(jnp.uint32)
-    tok_lo = it_ll_val | (it_d_val << sh_a)
-    tok_hi = (it_d_val >> np.uint32(1)) >> (np.uint32(31) - sh_a)
-    tok_nbs = it_ll_nb + it_d_nb                         # (T,)
+    lo_pos = it_ll_val | (it_d_val << sh_a)
+    hi_pos = (it_d_val >> np.uint32(1)) >> (np.uint32(31) - sh_a)
+    nbs_pos = (it_ll_nb + it_d_nb).astype(jnp.uint32)    # <= 48
+
+    packA_pos = lo_pos
+    packB_pos = ((hi_pos & np.uint32(0xFFFF)) | (nbs_pos << np.uint32(16))
+                 | (blk_of_pos.astype(jnp.uint32) << np.uint32(22)))
+    tgt = jnp.where(chosen, slot, T)        # row T is the garbage sink
+    # Unwritten trailing slots must claim the LAST block, not block 0: the
+    # pack consumes token items in slot order with indices_are_sorted, so
+    # dead-slot offsets (token_base[blk] + local cumsum) have to be
+    # non-decreasing too — blk = NB-1 parks them exactly at p_end.
+    packB_init = jnp.full((T + 1,), np.uint32((NB - 1) << 22), jnp.uint32)
+    packAB = jnp.stack([jnp.zeros((T + 1,), jnp.uint32), packB_init],
+                       axis=1).at[tgt].set(
+        jnp.stack([packA_pos, packB_pos], axis=1))
+
+    # EOB items (symbol 256) per emitted huffman block.
+    eob_tab = ll_tab[:, C.EOB]
+    eob_nbs = jnp.where(b_emitted & (btype != C.BTYPE_STORED),
+                        eob_tab >> np.uint32(16), np.uint32(0))
+    eob_tgt = jnp.where(b_emitted, eob_slot, T)
+    packAB = packAB.at[eob_tgt].set(
+        jnp.stack([eob_tab & np.uint32(0x7FFF),
+                   (eob_nbs << np.uint32(16))
+                   | (b_idx.astype(jnp.uint32) << np.uint32(22))], axis=1))
+
+    tok_lo = packAB[:T, 0]
+    tok_hi = packAB[:T, 1] & np.uint32(0xFFFF)
+    tok_nbs = ((packAB[:T, 1] >> np.uint32(16)) & np.uint32(0x3F)).astype(jnp.int32)
+    tok_blk = (packAB[:T, 1] >> np.uint32(22)).astype(jnp.int32)
 
     # Per-block token bit totals and per-block first-token-slot.
     T_b = huffman.histogram(tok_blk, NB, weights=tok_nbs)
@@ -518,20 +522,28 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     token_base = block_base + hdr_fixed + pad_b
     tok_offs = token_base[tok_blk] + (ctok - ctok_block0[tok_blk])
 
-    lo = jnp.concatenate([hdr_lo.reshape(-1), tok_lo, tail_vals])
-    hi = jnp.concatenate([hdr_hi.reshape(-1), tok_hi,
-                          jnp.zeros((3,), jnp.uint32)])
-    nbits = jnp.concatenate([hdr_nbs.reshape(-1), tok_nbs, tail_nbs])
-    offsets = jnp.concatenate([hdr_offs.reshape(-1), tok_offs, tail_offs])
-
-    words = bits_mod.pack_items64_to_words(lo, hi, nbits, offsets, OUT_WORDS)
+    # Two SORTED packs instead of one mixed pack: the header-item stream
+    # (row-major over blocks: block_base non-decreasing, in-row cumsum) and
+    # the token stream (slot order == stream order; dead tails park at p_end
+    # via the packB_init trick above) are each offset-monotone, so both
+    # scatters run with indices_are_sorted and OR together bit-disjointly.
+    words_h = bits_mod.pack_items64_to_words(
+        hdr_lo.reshape(-1), hdr_hi.reshape(-1), hdr_nbs.reshape(-1),
+        hdr_offs.reshape(-1), OUT_WORDS, sorted_indices=True)
+    words_t = bits_mod.pack_items64_to_words(
+        jnp.concatenate([tok_lo, tail_vals]),
+        jnp.concatenate([tok_hi, jnp.zeros((3,), jnp.uint32)]),
+        jnp.concatenate([tok_nbs, tail_nbs]),
+        jnp.concatenate([tok_offs, tail_offs]), OUT_WORDS,
+        sorted_indices=True)
+    words = words_h | words_t
 
     # ---------------------------------------------- sub-block decode entries
     # A (bit, out) checkpoint at the first token on/after every SUB_SIZE
     # output boundary: free here (token bit offsets are already computed) and
     # they multiply the TPU decoder's parallel lanes (decode/tpu_inflate.py
-    # phase B). Boundaries are < 4096+258 apart, so entries are distinct.
-    SUB_SIZE = 4096
+    # phase B). A token is <= 258 bytes < SUB_SIZE, so entries are distinct.
+    SUB_SIZE = 1024
     NSUB = S // SUB_SIZE
     nxt_tok = jnp.where(chosen, pos, S)
     first_tok = jnp.flip(jax.lax.cummin(jnp.flip(nxt_tok)))
@@ -544,8 +556,10 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     ev = ((entry_pos < valid_len) & b_emitted[entry_blk]
           & (btype[entry_blk] != C.BTYPE_STORED))
 
-    n_tokens = jnp.sum(tok_valid.astype(jnp.int32))
-    n_matches = jnp.sum(tok_is_match.astype(jnp.int32))
+    # chosen/is_match are already confined to [0, valid_len); EOBs count as
+    # tokens (one per emitted block), matching the slot layout.
+    n_tokens = jnp.sum(chosen.astype(jnp.int32)) + LB + 1
+    n_matches = jnp.sum(is_match.astype(jnp.int32))
     stats = {
         "btype": jnp.where(b_emitted, btype, -1),
         "block_bits": jnp.where(b_emitted, hdr_fixed + pad_b + T_b, 0),
