@@ -371,6 +371,22 @@ def tokenize(data: jnp.ndarray, valid_len: jnp.ndarray,
     length = jnp.where(better, run_len, length)
     dist = jnp.where(better, 1, dist)
 
+    # Chain extension to MAX_MATCH with ZERO gathers (log-doubling over
+    # shifted slices). If i's match is certified through i+s-1 at dist d and
+    # position i+s holds a match at the SAME d, the lengths chain:
+    # true_len[i] >= s + len[i+s]. Three rounds (s = 32, 64, 128) lift the
+    # 35-byte payload cap to >= 258. Every claimed byte stays certified
+    # (lower-bound composition), so emitted tokens remain byte-exact.
+    # Reference analogue: check_dup_str's unbounded byte walk to MAXLEN=258
+    # (src/deflate_compress.c:164-180) — here re-shaped as a parallel
+    # pointer-doubling closure instead of a serial compare loop.
+    for s in (32, 64, 128):
+        l_s = jnp.concatenate([length[s:], jnp.zeros((s,), jnp.int32)])
+        d_s = jnp.concatenate([dist[s:], jnp.zeros((s,), jnp.int32)])
+        can = (length >= s + 3) & (d_s == dist) & (dist > 0)
+        length = jnp.where(can, jnp.maximum(length, s + l_s), length)
+    length = jnp.minimum(length, C.MAX_MATCH)
+
     # Clamp matches to the valid region and to coding-block (tile)
     # boundaries: a token must not EXTEND past a boundary so every block's
     # output starts exactly at its tile (stored-block payload correctness +

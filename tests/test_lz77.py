@@ -119,3 +119,18 @@ def test_chunked_parse_equals_flat():
         got = np.asarray(jax.jit(lz77.greedy_parse)(jnp.asarray(tl)))
         want = np.asarray(jax.jit(lz77.greedy_parse_flat)(jnp.asarray(tl)))
         assert (got == want).all(), trial
+
+
+def test_chain_extension_reaches_max_match():
+    """Periodic data (period > payload width) must emit full-length matches:
+    the zero-gather chain extension lifts the 35-byte payload cap to 258
+    (reference analogue: check_dup_str walks to MAXLEN=258,
+    src/deflate_compress.c:164-180)."""
+    rng = np.random.default_rng(7)
+    tile = rng.integers(0, 256, 64, dtype=np.uint8)
+    raw = np.tile(tile, 256).tobytes()       # 16 KB, period 64
+    chosen, length = run_case(raw)
+    # the bulk of the stream must be covered by 258-byte matches
+    assert (length[chosen] == C.MAX_MATCH).sum() >= 50
+    # token count near the optimal ~ len/258 (+ first period of literals)
+    assert chosen.sum() < 64 + 2 * (len(raw) // C.MAX_MATCH)
