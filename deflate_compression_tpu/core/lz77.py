@@ -381,6 +381,8 @@ def tokenize(data: jnp.ndarray, valid_len: jnp.ndarray,
     # (src/deflate_compress.c:164-180) — here re-shaped as a parallel
     # pointer-doubling closure instead of a serial compare loop.
     for s in (32, 64, 128):
+        if s >= S:
+            break
         l_s = jnp.concatenate([length[s:], jnp.zeros((s,), jnp.int32)])
         d_s = jnp.concatenate([dist[s:], jnp.zeros((s,), jnp.int32)])
         can = (length >= s + 3) & (d_s == dist) & (dist > 0)

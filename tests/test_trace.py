@@ -81,7 +81,10 @@ def test_csv_shape_and_cli(tmp_path):
     csv = per_symbol_trace_csv(raw, stride=4, header_stride=8)
     lines = csv.strip().split("\n")
     assert lines[0] == CSV_HEADER
-    assert len(lines) > 5
+    # row count tracks token count (fewer when matching improves); the last
+    # record must still land on the final input byte
+    assert len(lines) >= 4
+    assert lines[-1].split(",")[0] == str(len(raw))
     assert all(len(line.split(",")) == 6 for line in lines[1:])
 
     from deflate_compression_tpu.cli import main
