@@ -108,24 +108,30 @@ def _peek64(words: jnp.ndarray, bit_pos: jnp.ndarray):
 
 
 def _halfwords(words: jnp.ndarray) -> jnp.ndarray:
-    """u32[W] -> u32[2W] at HALF-WORD granularity: hw[i] covers stream bits
-    [16i, 16i+32). Built once, elementwise; lets the symbol loop fetch a
-    48-bit window with TWO gathers instead of three (_peek48)."""
+    """u32[W] -> u32[2W, 2] half-word-granularity PAIR table: row i holds
+    (bits [16i, 16i+32), bits [16i+32, 16i+64)). Built once, elementwise;
+    lets the symbol loop fetch a 64-bit window with ONE row gather
+    (descriptor cost is per row, not per element)."""
     w = words.astype(jnp.uint32)
     nxt = jnp.concatenate([w[1:], jnp.zeros((1,), jnp.uint32)])
+    nxt2 = jnp.concatenate([w[2:], jnp.zeros((2,), jnp.uint32)])
     odd = (w >> np.uint32(16)) | (nxt << np.uint32(16))
-    return jnp.stack([w, odd], axis=1).reshape(-1)
+    odd2 = (nxt >> np.uint32(16)) | (nxt2 << np.uint32(16))
+    return jnp.stack([jnp.stack([w, nxt], axis=1),
+                      jnp.stack([odd, odd2], axis=1)],
+                     axis=1).reshape(-1, 2)
 
 
 def _peek48(hw: jnp.ndarray, bit_pos: jnp.ndarray):
-    """48-bit LSB-first window as (lo, hi) u32 pair from the half-word table
-    (2 gathers; hi carries >= 16 valid bits, enough for any DEFLATE token
-    tail: cl+leb+dcl+deb <= 48)."""
+    """48-bit LSB-first window as (lo, hi) u32 pair from the half-word pair
+    table (ONE row gather; hi carries >= 16 valid bits, enough for any
+    DEFLATE token tail: cl+leb+dcl+deb <= 48)."""
     H = hw.shape[0]
     i = jnp.clip(bit_pos >> 4, 0, H - 1)
     sh = (bit_pos & 15).astype(jnp.uint32)
-    a = hw[i]
-    b = hw[jnp.clip(i + 2, 0, H - 1)]
+    row = hw[i]                                   # (..., 2)
+    a = row[..., 0]
+    b = row[..., 1]
     lo = (a >> sh) | jnp.where(sh > 0,
                                b << ((np.uint32(32) - sh) & np.uint32(31)),
                                np.uint32(0))
@@ -488,26 +494,40 @@ def decode_blocks(comp_words: jnp.ndarray,
     comp_bytes = jax.lax.bitcast_convert_type(
         comp_words, jnp.uint8).reshape(-1)
     sto_pay_byte = ((blk_bit + 3 + 7) >> 3) + 4           # after LEN/NLEN
-    sorted_bstarts = jnp.where(blive, blk_out, jnp.int32(1 << 30))
-    blk_of_pos = jnp.clip(
-        jnp.searchsorted(sorted_bstarts, j_idx, side="right") - 1,
-        0, NB - 1).astype(jnp.int32)
+    # covering block per position: scatter each live block's id at its start
+    # then forward-fill with cummax — an NB-element scatter + one elementwise
+    # scan, instead of searchsorted (which lowers to log(NB) S-sized gather
+    # rounds, ~8 ms/shard at the ~100M elem/s descriptor floor)
+    bstart_mark = jnp.zeros((S,), jnp.int32).at[
+        jnp.where(blive, jnp.clip(blk_out, 0, S - 1), S)].max(
+        blanes + 1, mode="drop")
+    blk_of_pos = jnp.clip(jax.lax.cummax(bstart_mark) - 1, 0, NB - 1)
     pos_sto = is_sto[blk_of_pos] & (j_idx >= plen)
     sto_src = jnp.clip(sto_pay_byte[blk_of_pos]
                        + (j_idx - blk_out[blk_of_pos]), 0,
                        comp_bytes.shape[0] - 1)
     lit_val = jnp.where(pos_sto, comp_bytes[sto_src], lit_val)
 
-    # covering token per position, then analytic overlap collapse:
-    # byte j of a match token (start s, dist d) originates at
-    # s - d + ((j - s) mod d) — intra-token chains vanish in one step.
+    # covering token per position, then SAME-DISTANCE RUN collapse: the
+    # byte-level source of any match-covered position is exactly j - d
+    # (RFC 1951 §3.2.3 back-copy; the reference replays it byte-serially,
+    # src/deflate_decompress.c:47-57). Over a maximal run [r, j] of
+    # positions all covered at the SAME d, the iterated chain lands at
+    # r - d + ((j - (r-d)) mod d) in ONE elementwise step — this collapses
+    # both intra-token overlap AND the arbitrarily deep cross-token chains
+    # of periodic data (d-periodic tilings previously cost log2(run/d)
+    # doubling rounds, each an S-sized gather). Only chains that hop
+    # between DIFFERENT distances remain for the pointer doubling below.
     start_mark = jnp.where(t_valid, j_idx, -1)
     s_j = jax.lax.cummax(start_mark)
     s_c = jnp.clip(s_j, 0, S - 1)
     d_j = jnp.where((s_j >= 0) & t_match[s_c], t_d[s_c], 0)
     mpos = (d_j > 0) & ~pos_sto & (j_idx >= plen)
-    ds = jnp.maximum(d_j, 1)
-    g = s_c - d_j + jnp.where(mpos, (j_idx - s_c) % ds, 0)
+    rd = jnp.where(mpos, d_j, 0)
+    prev_rd = jnp.concatenate([jnp.full((1,), -1, jnp.int32), rd[:-1]])
+    r = jax.lax.cummax(jnp.where(rd != prev_rd, j_idx, -1))  # run start >= 0
+    base = r - rd
+    g = base + jnp.where(mpos, (j_idx - base) % jnp.maximum(rd, 1), 0)
     bad_dist = jnp.any(mpos & (g < 0) & (j_idx < valid_out))
     ptr = jnp.where(mpos & (g >= 0), g, j_idx)
 

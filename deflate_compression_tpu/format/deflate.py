@@ -563,21 +563,28 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     words = words_h | words_t
 
     # ---------------------------------------------- sub-block decode entries
-    # A (bit, out) checkpoint at the first token on/after every SUB_SIZE
-    # output boundary: free here (token bit offsets are already computed) and
-    # they multiply the TPU decoder's parallel lanes (decode/tpu_inflate.py
-    # phase B). A token is <= 258 bytes < SUB_SIZE, so entries are distinct.
-    SUB_SIZE = 1024
-    NSUB = S // SUB_SIZE
-    nxt_tok = jnp.where(chosen, pos, S)
-    first_tok = jnp.flip(jax.lax.cummin(jnp.flip(nxt_tok)))
-    bnd = jnp.arange(NSUB, dtype=jnp.int32) * SUB_SIZE
-    entry_pos = first_tok[bnd]
-    ep_c = jnp.clip(entry_pos, 0, S - 1)
-    entry_blk = blk_of_pos[ep_c]
-    entry_bit = off_pos[ep_c]               # NSUB-sized gather (tiny)
-    ev = ((entry_pos < valid_len) & b_emitted[entry_blk]
-          & (btype[entry_blk] != C.BTYPE_STORED))
+    # TOKEN-UNIFORM decode checkpoints: every `stride`-th token plus each
+    # emitted huffman block's first token, stride chosen so the entry count
+    # fits the static NSUB lane capacity. Output-uniform spacing (the old
+    # scheme) made literal-dense lanes decode ~4x more symbols than match-
+    # dense ones — and the decoder's while_loop runs until the SLOWEST lane
+    # finishes, so uniform tokens-per-lane is what actually cuts steps
+    # (decode/tpu_inflate.py phase B).
+    NSUB = S // 512                        # lane capacity (static)
+    cs = jnp.cumsum(chosen.astype(jnp.int32)) - chosen.astype(jnp.int32)
+    n_tok_all = cs[-1] + chosen[-1].astype(jnp.int32)
+    csb = jnp.repeat(cs[start_pos_b][blk_id_micro], BLOCK,
+                     total_repeat_length=S)      # tokens before own block
+    first_in_blk = chosen & (cs == csb)
+    stride = jnp.maximum((n_tok_all + NSUB - NB - 1) // (NSUB - NB), 1)
+    sel = chosen & huff_pos & ((cs % stride == 0) | first_in_blk)
+    sel_rank = jnp.cumsum(sel.astype(jnp.int32)) - sel.astype(jnp.int32)
+    tgt_e = jnp.where(sel, jnp.minimum(sel_rank, NSUB - 1), NSUB)
+    sub = jnp.full((NSUB + 1, 3), jnp.int32(-1)).at[:, 1].set(
+        jnp.int32(1 << 30)).at[tgt_e].set(
+        jnp.stack([off_pos, pos, blk_of_pos], axis=1))
+    entry_bit, entry_pos, entry_blk = sub[:NSUB, 0], sub[:NSUB, 1], sub[:NSUB, 2]
+    ev = entry_blk >= 0
 
     # chosen/is_match are already confined to [0, valid_len); EOBs count as
     # tokens (one per emitted block).

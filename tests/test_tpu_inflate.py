@@ -146,3 +146,17 @@ def test_corrupt_symbol_flags_bad_lane():
             # (adler would catch it); silent identity is the failure mode
             assert got != raw
     assert bad >= 1
+
+
+def test_periodic_same_dist_runs():
+    """Deep same-distance LZ chains (periodic tilings) must decode exactly:
+    the phase-C run collapse resolves them analytically, and mixed periods
+    exercise the cross-distance doubling that remains."""
+    rng = np.random.default_rng(11)
+    p64 = rng.integers(0, 256, 64, dtype=np.uint8).tobytes()
+    p7 = bytes(range(7))
+    raw = (np.tile(np.frombuffer(p64, np.uint8), 600).tobytes()
+           + p7 * 4000
+           + b"x" * 5000
+           + np.tile(np.frombuffer(p64, np.uint8), 100).tobytes())
+    roundtrip(raw)

@@ -87,7 +87,36 @@ def main():
             return r["ok"], jnp.sum(r["out"], dtype=jnp.uint32)
         return jax.vmap(one)(words, bb, bo, bt, nb, sb, so, sk)
 
-    stages = [("dec_full", dec_full), ("dec_full2", dec_full)]
+    def dec_headers(args, salt):
+        # dead lanes: phase A (header parse + RLE loop + LUT builds) and the
+        # output machinery run; the symbol loop body never fires
+        words, bb, bo, bt, nb, sb, so, sk = args
+        words = words.at[:, -1].add(salt.astype(jnp.uint32))
+
+        def one(w, bb1, bo1, bt1, nb1, sb1, so1, sk1):
+            r = decode_blocks(w, bb1, bo1, bt1, nb1, sb1, so1,
+                              jnp.full_like(sk1, -1),
+                              jnp.int32(sb1.shape[0]), jnp.int32(SHARD),
+                              SHARD)
+            return r["ok"], jnp.sum(r["out"], dtype=jnp.uint32)
+        return jax.vmap(one)(words, bb, bo, bt, nb, sb, so, sk)
+
+    def dec_noblocks(args, salt):
+        # n_blocks=0: phase A degenerates too; measures LUT-build + fixed
+        # machinery (tables are still built for NB slots)
+        words, bb, bo, bt, nb, sb, so, sk = args
+        words = words.at[:, -1].add(salt.astype(jnp.uint32))
+
+        def one(w, bb1, bo1, bt1, nb1, sb1, so1, sk1):
+            r = decode_blocks(w, bb1, bo1, jnp.full_like(bt1, -1),
+                              jnp.int32(0), sb1, so1,
+                              jnp.full_like(sk1, -1), jnp.int32(0),
+                              jnp.int32(SHARD), SHARD)
+            return r["ok"], jnp.sum(r["out"], dtype=jnp.uint32)
+        return jax.vmap(one)(words, bb, bo, bt, nb, sb, so, sk)
+
+    stages = [("dec_full", dec_full), ("dec_full2", dec_full),
+              ("dec_headers", dec_headers), ("dec_noblocks", dec_noblocks)]
     for name, fn in stages:
         try:
             t0 = time.perf_counter()

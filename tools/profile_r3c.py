@@ -80,14 +80,27 @@ def main():
             return jnp.sum(f)
         return jax.vmap(one)(batch)
 
-    def hist_pallas(batch, salt):
+    def hist_mxu(batch, salt):
+        # the production formulation (format/deflate.py): one-hot x ones on
+        # the MXU via huffman.histogram_rows_matmul
         batch = batch.at[0, 0].set(salt)
 
         def one(row):
-            h1 = tile_histogram(row.astype(jnp.int32), 286, 32768)
-            h2 = tile_histogram(row.astype(jnp.int32) % 30, 30, 32768)
+            h1 = huffman.histogram_rows_matmul(
+                row.astype(jnp.int32).reshape(NB, 32768), 286)
+            h2 = huffman.histogram_rows_matmul(
+                (row.astype(jnp.int32) % 30).reshape(NB, 32768), 30)
             return jnp.sum(h1) + jnp.sum(h2)
         return jax.vmap(one)(batch)
+
+    def hist_pallas(batch, salt):
+        # flatten the batch: one pallas_call, grid = total tiles (vmapping
+        # the kernel produces an unsupported (1, tile) block shape)
+        batch = batch.at[0, 0].set(salt)
+        flat = batch.reshape(-1).astype(jnp.int32)
+        h1 = tile_histogram(flat, 286, 32768)
+        h2 = tile_histogram(flat % 30, 30, 32768)
+        return jnp.sum(h1) + jnp.sum(h2)
 
     stages = [
         ("warmup", enc_width(8)),
@@ -95,10 +108,11 @@ def main():
         ("encode_x16", enc_width(16)),
         ("encode_x32", enc_width(32)),
         ("hist_xla", hist_xla),
+        ("hist_mxu", hist_mxu),
         ("hist_pallas", hist_pallas),
     ]
     widths = {"warmup": 8, "encode_x8": 8, "encode_x16": 16, "encode_x32": 32,
-              "hist_xla": 8, "hist_pallas": 8}
+              "hist_xla": 8, "hist_mxu": 8, "hist_pallas": 8}
 
     for name, fn in stages:
         try:
