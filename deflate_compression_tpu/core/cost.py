@@ -107,8 +107,14 @@ def block_plan(ll_freq_micro: jnp.ndarray, d_freq_micro: jnp.ndarray,
         new_tail = jnp.concatenate([opt_j[None], opt_tail[:-1]])
         return new_tail, (opt_j, (best_k + 1).astype(jnp.int32))
 
+    # `+ cost_all[0, 0] * 0` ties the carry to the (device-varying) data so
+    # its varying-axis type is stable inside shard_map at NB > 1 (the
+    # scan-vma rule; same trick as core/lz77.greedy_parse). A constant init
+    # fails to trace under jax.shard_map with "carry input and carry output
+    # must have equal types ... {V:shards}".
     init_tail = jnp.concatenate([jnp.zeros((1,), jnp.float32),
-                                 jnp.full((max_merge - 1,), BIG)])
+                                 jnp.full((max_merge - 1,), BIG)]) \
+        + cost_all[0, 0] * 0
     _, (_, back_k) = jax.lax.scan(step, init_tail,
                                   jnp.arange(1, M + 1, dtype=jnp.int32))
     # back_k[j-1] = merge width chosen ending at tile j
@@ -125,8 +131,9 @@ def block_plan(ll_freq_micro: jnp.ndarray, d_freq_micro: jnp.ndarray,
         j2, split = bt(j, split)
         return (j2, split), None
 
-    split0 = jnp.zeros((M,), jnp.bool_).at[0].set(True)
-    (jf, split), _ = jax.lax.scan(bt_step, (n_micro_valid, split0), None,
-                                  length=M)
+    split0 = jnp.zeros((M,), jnp.bool_).at[0].set(True) | (back_k[:1] < 0)
+    (jf, split), _ = jax.lax.scan(bt_step,
+                                  (n_micro_valid + back_k[0] * 0, split0),
+                                  None, length=M)
     n_blocks = jnp.sum(split & (jnp.arange(M) < n_micro_valid))
     return split, n_blocks.astype(jnp.int32)

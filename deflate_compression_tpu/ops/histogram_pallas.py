@@ -1,14 +1,22 @@
-"""Pallas TPU kernel: masked symbol histogram (per-tile).
+"""Pallas TPU kernel: masked symbol histogram (per-tile). **DEMOTED** —
+kept as a measured experiment, not a production path.
 
-The encoder's histograms (core/huffman.histogram) lower to XLA scatter-adds;
-on TPU a scatter serializes through memory. This kernel computes per-tile
-histograms with the compare-broadcast-reduce formulation instead — pure VPU
-ops (broadcasted iota + equality + reduction), no scatter, VMEM-resident —
-and the caller sums the per-tile partials (a tiny tree reduction XLA fuses).
+Round-3 closure of the "Pallas on the hot path" question (VERDICT r2 #4),
+measured on TPU v5e / jax 0.9 / libtpu 0.0.34 (tools/profile_r3c.py):
 
-Used by the cost model's per-tile (32 KB micro-block) litlen/dist histograms
-where the tile structure matches the kernel grid exactly. Falls back to
-interpret mode off-TPU so CPU tests exercise the same code path.
+  * XLA scatter-add histogram:            7.9 ms / 256 KB shard
+  * MXU one-hot matmul (production,
+    core/huffman.histogram_rows_matmul):  3.2 ms / 256 KB shard
+  * this Pallas kernel:                   does not lower — Mosaic rejects
+    the (1, num_classes) output block spec ("last two dimensions of your
+    block shape [must be] divisible by 8 and 128"), and reshaping the
+    grid hits the same constraint on the input side for vmapped callers.
+    Dynamic-gather inside kernels is also unsupported on this stack
+    (ROADMAP "Mosaic/Pallas dynamic gather").
+
+The MXU formulation won and is what format/deflate.py ships. Revisit this
+kernel only after a libtpu/Mosaic upgrade; until then it runs in interpret
+mode in tests as a cross-check of the histogram semantics.
 """
 from __future__ import annotations
 

@@ -64,14 +64,14 @@ if pid == 0:
 """
 
 
-def test_two_process_distributed(tmp_path):
+def _run_distributed(nproc: int):
     import socket
     sock = socket.socket()
     sock.bind(("127.0.0.1", 0))
     port = str(sock.getsockname()[1])
     sock.close()
 
-    for p in (0, 1):
+    for p in range(nproc):
         f = f"/tmp/mp_shards_{p}.pkl"
         if os.path.exists(f):
             os.unlink(f)
@@ -79,13 +79,13 @@ def test_two_process_distributed(tmp_path):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     procs = [subprocess.Popen(
-        [sys.executable, "-c", _WORKER, str(p), "2", port],
+        [sys.executable, "-c", _WORKER, str(p), str(nproc), port],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
-        cwd="/root/repo") for p in (0, 1)]
+        cwd="/root/repo") for p in range(nproc)]
     outs = []
     try:
         for pr in procs:
-            out, err = pr.communicate(timeout=240)
+            out, err = pr.communicate(timeout=360)
             outs.append((pr.returncode, out.decode(), err.decode()))
     finally:
         for pr in procs:
@@ -94,3 +94,14 @@ def test_two_process_distributed(tmp_path):
     for rc, out, err in outs:
         assert rc == 0, f"worker failed: {err[-2000:]}"
     assert "MULTIPROC_OK" in outs[0][1]
+
+
+def test_two_process_distributed(tmp_path):
+    _run_distributed(2)
+
+
+def test_four_process_distributed(tmp_path):
+    """BASELINE config 5 shape: >= 2 hosts -> 4 coordinator-connected
+    processes x 2 virtual devices, round-robin shard ownership, process 0
+    assembles the container and the zlib oracle verifies it."""
+    _run_distributed(4)
