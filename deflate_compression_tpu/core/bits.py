@@ -179,6 +179,56 @@ def pack_items64_to_words(lo: jnp.ndarray,
     return out
 
 
+def pack_items96_to_words(w0v: jnp.ndarray,
+                          w1v: jnp.ndarray,
+                          w2v: jnp.ndarray,
+                          nbits: jnp.ndarray,
+                          offsets: jnp.ndarray,
+                          num_words: int,
+                          sorted_indices: bool = True) -> jnp.ndarray:
+    """Scatter up-to-96-bit items (value = w2v<<64 | w1v<<32 | w0v, low
+    `nbits` significant) into a u32 word array. A 96-bit item spans at most
+    4 words, so four sorted scatter-add streams — callers use this to PAIR
+    adjacent <= 48-bit items, cutting the pack's descriptor traffic from
+    3 streams x N to 4 streams x N/2 (the measured floor is per scatter
+    ELEMENT, ~100M/s). Offsets must be non-decreasing; zero-width items
+    contribute nothing but must sit at their natural stream position."""
+    w0v = w0v.astype(jnp.uint32)
+    w1v = w1v.astype(jnp.uint32)
+    w2v = w2v.astype(jnp.uint32)
+    nbits = nbits.astype(jnp.int32)
+    offsets = offsets.astype(jnp.int32)
+    full = np.uint32(0xFFFFFFFF)
+
+    def _m(nb):
+        nb = jnp.clip(nb, 0, 32)
+        return jnp.where(nb >= 32, full,
+                         jnp.where(nb <= 0, np.uint32(0),
+                                   full >> (np.uint32(32)
+                                            - nb.astype(jnp.uint32))))
+    w0v = w0v & _m(nbits)
+    w1v = w1v & _m(nbits - 32)
+    w2v = w2v & _m(nbits - 64)
+
+    w = offsets >> 5
+    sh = (offsets & 31).astype(jnp.uint32)
+    # carry(v) = v >> (32 - sh), expressed shift-safely for sh in [0, 31]
+    c0 = (w0v >> np.uint32(1)) >> (np.uint32(31) - sh)
+    c1 = (w1v >> np.uint32(1)) >> (np.uint32(31) - sh)
+    c2 = (w2v >> np.uint32(1)) >> (np.uint32(31) - sh)
+    s0 = w0v << sh
+    s1 = (w1v << sh) | c0
+    s2 = (w2v << sh) | c1
+    s3 = c2
+
+    out = jnp.zeros((num_words + 3,), jnp.uint32)
+    out = out.at[w].add(s0, indices_are_sorted=sorted_indices)
+    out = out.at[w + 1].add(s1, indices_are_sorted=sorted_indices)
+    out = out.at[w + 2].add(s2, indices_are_sorted=sorted_indices)
+    out = out.at[w + 3].add(s3, indices_are_sorted=sorted_indices)
+    return out[:num_words]
+
+
 def words_to_bytes(words: np.ndarray, total_bits: int) -> bytes:
     """Host-side: u32 LSB-first words -> byte string of ceil(total_bits/8)."""
     nbytes = (int(total_bits) + 7) // 8

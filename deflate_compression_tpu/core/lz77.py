@@ -152,7 +152,7 @@ def find_matches(data: jnp.ndarray, num_candidates: int = 32,
     # a 2-word (11-byte-exact) preselect, and the far winner is rescored
     # exactly with ONE row gather. Selection quality loss is only among far
     # candidates that tie beyond 11 leading bytes.
-    K_EXACT = min(num_candidates, 8)
+    K_EXACT = min(num_candidates, 4)
     FAR_WORDS = min(2, PW - 1) if PW >= 2 else 0
     best_bytes = jnp.full((S,), -1, jnp.int32)
     best_cand = jnp.full((S,), -1, jnp.int32)

@@ -552,14 +552,42 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     # are each offset-monotone, so both scatters run with
     # indices_are_sorted and OR together bit-disjointly.
     words_h = bits_mod.pack_items64_to_words(
-        hdr_lo.reshape(-1), hdr_hi.reshape(-1), hdr_nbs.reshape(-1),
-        hdr_offs.reshape(-1), OUT_WORDS, sorted_indices=True)
-    words_t = bits_mod.pack_items64_to_words(
-        jnp.concatenate([lo_pos, tail_vals]),
-        jnp.concatenate([hi_pos, jnp.zeros((3,), jnp.uint32)]),
-        jnp.concatenate([nbs_chosen, tail_nbs]),
-        jnp.concatenate([off_pos, tail_offs]), OUT_WORDS,
-        sorted_indices=True)
+        jnp.concatenate([hdr_lo.reshape(-1), tail_vals]),
+        jnp.concatenate([hdr_hi.reshape(-1), jnp.zeros((3,), jnp.uint32)]),
+        jnp.concatenate([hdr_nbs.reshape(-1), tail_nbs]),
+        jnp.concatenate([hdr_offs.reshape(-1), tail_offs]),
+        OUT_WORDS, sorted_indices=True)
+
+    # Pair-combine adjacent positions into one <= 96-bit item: within a
+    # block position offsets are gapless (off[2i+1] == off[2i] + nb[2i]) and
+    # blocks are 32768-aligned so pairs never straddle one — v = v1 |
+    # (v2 << nb1) exactly. Halves the pack's scatter streams' element count
+    # (4 x S/2 vs 3 x S; the ~100M elem/s descriptor rate is the floor).
+    full32 = np.uint32(0xFFFFFFFF)
+    nb_lo = jnp.clip(nbs_chosen, 0, 32)
+    nb_hi = jnp.clip(nbs_chosen - 32, 0, 32)
+    lo_m = lo_pos & jnp.where(nb_lo >= 32, full32,
+                              jnp.where(nb_lo <= 0, np.uint32(0),
+                                        full32 >> (np.uint32(32)
+                                                   - nb_lo.astype(jnp.uint32))))
+    hi_m = hi_pos & jnp.where(nb_hi <= 0, np.uint32(0),
+                              full32 >> (np.uint32(32)
+                                         - jnp.maximum(nb_hi, 1)
+                                         .astype(jnp.uint32)))
+    l1, h1, n1 = lo_m[0::2], hi_m[0::2], nbs_chosen[0::2]
+    l2, h2, n2 = lo_m[1::2], hi_m[1::2], nbs_chosen[1::2]
+    n1u = n1.astype(jnp.uint32)
+    hiq = n1u >= 32                     # v2 starts in word 1 (n1 <= 48)
+    rsh = n1u & np.uint32(31)
+    a0 = l2 << rsh
+    car0 = (l2 >> np.uint32(1)) >> (np.uint32(31) - rsh)
+    a1 = (h2 << rsh) | car0
+    a2 = (h2 >> np.uint32(1)) >> (np.uint32(31) - rsh)
+    c0 = l1 | jnp.where(hiq, np.uint32(0), a0)
+    c1 = h1 | jnp.where(hiq, a0, a1)
+    c2 = jnp.where(hiq, a1, a2)         # bits >= 96 provably vanish
+    words_t = bits_mod.pack_items96_to_words(
+        c0, c1, c2, n1 + n2, off_pos[0::2], OUT_WORDS, sorted_indices=True)
     words = words_h | words_t
 
     # ---------------------------------------------- sub-block decode entries
