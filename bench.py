@@ -236,7 +236,7 @@ def main():
             def one(w, bb1, bo1, bt1, nb1, sb1, so1, sk1):
                 r = decode_blocks(w, bb1, bo1, bt1, nb1, sb1, so1, sk1,
                                   jnp.int32(sb1.shape[0]), jnp.int32(SHARD),
-                                  SHARD)
+                                  SHARD, lut_bits=11)
                 return r["ok"], jnp.sum(r["out"], dtype=jnp.uint32)
             return jax.vmap(one)(words, bb, bo, bt, nb, sb, so, sk)
 

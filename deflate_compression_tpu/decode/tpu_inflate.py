@@ -62,8 +62,17 @@ def _rev_table(bits: int) -> np.ndarray:
     return r
 
 
-_REV15 = _rev_table(15)
-_REV7 = _rev_table(7)
+_REV_CACHE = {}
+
+
+def _rev_np(bits: int) -> np.ndarray:
+    if bits not in _REV_CACHE:
+        _REV_CACHE[bits] = _rev_table(bits)
+    return _REV_CACHE[bits]
+
+
+_REV15 = _rev_np(15)
+_REV7 = _rev_np(7)
 
 # fixed trees, full decode-side alphabets (RFC 1951 §3.2.6: lengths are
 # DEFINED for 286/287 and dist codes 30/31 — they shape the canonical
@@ -205,7 +214,7 @@ def _build_lut(first, limit, base, max_bits: int, rev_np: np.ndarray):
 # the decoder
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("out_size",))
+@functools.partial(jax.jit, static_argnames=("out_size", "lut_bits"))
 def decode_blocks(comp_words: jnp.ndarray,
                   blk_bit: jnp.ndarray,
                   blk_out: jnp.ndarray,
@@ -218,7 +227,8 @@ def decode_blocks(comp_words: jnp.ndarray,
                   valid_out: jnp.ndarray,
                   out_size: int,
                   prefix: jnp.ndarray | None = None,
-                  prefix_len: jnp.ndarray | None = None):
+                  prefix_len: jnp.ndarray | None = None,
+                  lut_bits: int = MAX_BITS):
     """Decode a DEFLATE substream given its block index + sub-entries.
 
     Args:
@@ -237,6 +247,11 @@ def decode_blocks(comp_words: jnp.ndarray,
       prefix/prefix_len: optional u8[W]/i32 window context occupying output
         [0, prefix_len) so match distances may reach into the previous
         decode group (caller shifts all out offsets by prefix_len).
+
+      lut_bits: static decode-LUT width. 15 decodes any RFC stream; 11
+        suffices for THIS framework's encoder (format/deflate.TREE_LIMIT)
+        and cuts the per-block LUT build 16x. A code longer than lut_bits
+        flags the lane bad (strict), never decodes wrong.
 
     Returns dict(out=u8[out_size], ok=bool, bad_lanes=bool[NL]).
     """
@@ -353,10 +368,11 @@ def decode_blocks(comp_words: jnp.ndarray,
         d_lens, _N_D, MAX_BITS)
     bbad = bbad | (huff & (ll_over | d_over))
 
-    ll_lut_f = _build_lut(ll_first, ll_limit, ll_base, MAX_BITS,
-                          _REV15).reshape(-1)
-    d_lut_f = _build_lut(d_first, d_limit, d_base, MAX_BITS,
-                         _REV15).reshape(-1)
+    lsz = 1 << lut_bits
+    ll_lut_f = _build_lut(ll_first, ll_limit, ll_base, lut_bits,
+                          _rev_np(lut_bits)).reshape(-1)
+    d_lut_f = _build_lut(d_first, d_limit, d_base, lut_bits,
+                         _rev_np(lut_bits)).reshape(-1)
 
     # Rank -> payload tables, built ONCE per decode (tiny NB×288 gathers):
     # the symbol loop then needs exactly TWO gathers per alphabet (flat LUT
@@ -409,8 +425,8 @@ def decode_blocks(comp_words: jnp.ndarray,
         (2-gather peek48, 2 gathers per alphabet, 1 token scatter)."""
         act = ~done & ~lbad
         lo, hi = _peek48(hw, bp)
-        e = ll_lut_f[lblk * _LSZ + (lo & np.uint32(_LSZ - 1)
-                                    ).astype(jnp.int32)]
+        e = ll_lut_f[lblk * lsz + (lo & np.uint32(lsz - 1)
+                                   ).astype(jnp.int32)]
         cl = e >> 9
         lbad = lbad | (act & (cl == 0))
         pay = ll_pay_f[lblk * _N_LL + (e & 0x1FF)]
@@ -425,9 +441,9 @@ def decode_blocks(comp_words: jnp.ndarray,
         mlen = (pay & 0x1FF) + lev
         off2 = cl + jnp.where(is_len, leb, 0)
 
-        de = d_lut_f[lblk * _LSZ
+        de = d_lut_f[lblk * lsz
                      + (_extract(lo, hi, off2)
-                        & np.uint32(_LSZ - 1)).astype(jnp.int32)]
+                        & np.uint32(lsz - 1)).astype(jnp.int32)]
         dcl = de >> 9
         dpay = d_pay_f[lblk * _N_D + (de & 0x1FF)]
         lbad = lbad | (act & is_len & ((dcl == 0) | (dpay >> 19 != 0)))

@@ -48,6 +48,8 @@ _SLOT_PAD = 337
 _SLOT_LENNLEN = 338
 _SLOT_PAYLOAD = 339
 _SLOT_EOB = _H_ITEMS - 1
+TREE_LIMIT = 11          # emitted Huffman code-length cap (RFC allows 15;
+                         # 11 keeps decode LUTs at 2^11 — see encode_shard)
 
 # Fixed-tree tables as host constants (codes already canonical per RFC).
 _FIXED_LL_LEN = C.FIXED_LITLEN_LENGTHS[:C.NUM_LITLEN]
@@ -310,12 +312,18 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     ll_freq_t = _force_two_codes(ll_freq)
     d_freq_t = _force_two_codes(d_freq)
 
-    build15 = jax.vmap(lambda f: huffman.huffman_code_lengths(f, 15))
-    ll_len_dyn = build15(ll_freq_t)                       # (NB, 286)
-    d_len_dyn = build15(d_freq_t)                         # (NB, 30)
-    codes15 = jax.vmap(lambda l: huffman.canonical_codes(l, 15))
-    ll_code_dyn = codes15(ll_len_dyn)
-    d_code_dyn = codes15(d_len_dyn)
+    # Trees are length-limited to TREE_LIMIT (< the RFC's 15): package-
+    # merge at 11 costs +0.07% on the bee literal histogram but lets the
+    # TPU decoder build 2^11 LUTs instead of 2^15 — a 16x cut in the
+    # decode's per-block table-build traffic (decode/tpu_inflate.py
+    # lut_bits). Any conformant inflater accepts the streams (11 <= 15).
+    build_lim = jax.vmap(
+        lambda f: huffman.huffman_code_lengths(f, TREE_LIMIT))
+    ll_len_dyn = build_lim(ll_freq_t)                     # (NB, 286)
+    d_len_dyn = build_lim(d_freq_t)                       # (NB, 30)
+    codes_lim = jax.vmap(lambda l: huffman.canonical_codes(l, TREE_LIMIT))
+    ll_code_dyn = codes_lim(ll_len_dyn)
+    d_code_dyn = codes_lim(d_len_dyn)
 
     # ------------------------------------------------- tree description (RLE)
     sym_max = jnp.max(jnp.where(ll_len_dyn > 0,
@@ -598,7 +606,7 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     # dense ones — and the decoder's while_loop runs until the SLOWEST lane
     # finishes, so uniform tokens-per-lane is what actually cuts steps
     # (decode/tpu_inflate.py phase B).
-    NSUB = S // 512                        # lane capacity (static)
+    NSUB = S // 256                        # lane capacity (static)
     cs = jnp.cumsum(chosen.astype(jnp.int32)) - chosen.astype(jnp.int32)
     n_tok_all = cs[-1] + chosen[-1].astype(jnp.int32)
     csb = jnp.repeat(cs[start_pos_b][blk_id_micro], BLOCK,

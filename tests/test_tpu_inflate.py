@@ -160,3 +160,26 @@ def test_periodic_same_dist_runs():
            + b"x" * 5000
            + np.tile(np.frombuffer(p64, np.uint8), 100).tobytes())
     roundtrip(raw)
+
+
+def test_lut11_decodes_our_streams():
+    """Our encoder caps code lengths at TREE_LIMIT=11, so an 11-bit decode
+    LUT must decode everything it emits (16x cheaper table build)."""
+    from deflate_compression_tpu.format.deflate import TREE_LIMIT
+    from deflate_compression_tpu.decode.tpu_inflate import decode_blocks
+    assert TREE_LIMIT <= 11
+    raw = (open("/root/reference/docs/rfc1951.txt", "rb").read()[:S - 40000]
+           + b"\x07" * 20000
+           + np.random.default_rng(3).integers(0, 256, 20000,
+                                               dtype=np.uint8).tobytes())
+    vl = len(raw)
+    buf = np.zeros(S, np.uint8)
+    buf[:vl] = np.frombuffer(raw, np.uint8)
+    r = encode_shard_jit(jnp.asarray(buf), jnp.int32(vl), jnp.asarray(True))
+    res = decode_blocks(r["words"], r["block_bit_base"],
+                        r["block_out_start"], r["btype"], r["n_blocks"],
+                        r["sub_bit"], r["sub_out"], r["sub_blk"],
+                        jnp.int32(r["sub_bit"].shape[0]), jnp.int32(vl), S,
+                        lut_bits=11)
+    assert bool(res["ok"])
+    assert np.asarray(res["out"])[:vl].tobytes() == raw
