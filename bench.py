@@ -200,15 +200,17 @@ def main():
         finally:
             signal.alarm(0)
 
-    # baseline: zlib level 6 on this host
+    # baseline: zlib level 6 on this host (+ level 9 ratio for context)
     t0 = time.perf_counter()
     zcomp = zlib.compress(corpus, 6)
     zdt = time.perf_counter() - t0
     z_mbps = n / zdt / 1e6
     z_ratio = (len(zcomp) - 6) / n
+    z9_ratio = (len(zlib.compress(corpus, 9)) - 6) / n
 
     print(f"# ours: {ours_mbps:.2f} MB/s ratio {ratio:.4f}; "
-          f"zlib-6: {z_mbps:.1f} MB/s ratio {z_ratio:.4f}", file=sys.stderr)
+          f"zlib-6: {z_mbps:.1f} MB/s ratio {z_ratio:.4f}; "
+          f"zlib-9 ratio {z9_ratio:.4f}", file=sys.stderr)
 
     # ---------------- device decode benchmark (DECODE_rNN.json side artifact)
     # Encode once more keeping words + the .dcx-equivalent index ON DEVICE
@@ -240,6 +242,19 @@ def main():
                 return r["ok"], jnp.sum(r["out"], dtype=jnp.uint32)
             return jax.vmap(one)(words, bb, bo, bt, nb, sb, so, sk)
 
+        @jax.jit
+        def dec_adler(words, bb, bo, bt, nb, sb, so, sk):
+            # untimed end-to-end verification: device adler32 per decoded
+            # shard (the codec guarantee on the user-facing indexed path)
+            from deflate_compression_tpu.core.checksum import adler32_jax
+
+            def one(w, bb1, bo1, bt1, nb1, sb1, so1, sk1):
+                r = decode_blocks(w, bb1, bo1, bt1, nb1, sb1, so1, sk1,
+                                  jnp.int32(sb1.shape[0]), jnp.int32(SHARD),
+                                  SHARD, lut_bits=11)
+                return r["ok"], adler32_jax(r["out"], jnp.int32(SHARD))
+            return jax.vmap(one)(words, bb, bo, bt, nb, sb, so, sk)
+
         with _alarm_guard(280):
             enc_out = enc_keep(dbatch)
             jax.block_until_ready(enc_out)
@@ -262,6 +277,21 @@ def main():
             (outsum == (want & 0xFFFFFFFF)).all())
         dec_mbps = n / dbest / 1e6
 
+        # untimed adler verification of the decoded bytes, on device
+        try:
+            with _alarm_guard(150):
+                aok, adev = dec_adler(*enc_out)
+                aok = np.asarray(aok)
+                adev = np.asarray(adev)
+            want_ad = np.array([zlib.adler32(shards[i].tobytes())
+                                for i in range(N_SHARDS)], np.uint32)
+            dec_ok = dec_ok and bool(aok.all()) and bool(
+                (adev == want_ad).all())
+            print(f"# decode adler verify: {bool((adev == want_ad).all())}",
+                  file=sys.stderr)
+        except TimeoutError:
+            print("# adler verify wedged; keeping sum check", file=sys.stderr)
+
         t0 = time.perf_counter()
         _ = zlib.decompress(zcomp)
         zd_mbps = n / (time.perf_counter() - t0) / 1e6
@@ -270,7 +300,7 @@ def main():
         drec = {"metric": "decode_throughput", "value": round(dec_mbps, 2),
                 "unit": "MB/s", "verified": dec_ok,
                 "vs_baseline": round(dec_mbps / zd_mbps, 3)}
-        with open("/root/repo/DECODE_r03.json", "w") as f:
+        with open("/root/repo/DECODE_r04.json", "w") as f:
             json.dump(drec, f)
     except TimeoutError:
         print("# decode bench wedged; skipped", file=sys.stderr)

@@ -7,6 +7,9 @@ Subcommands:
   compress    file -> zlib/gzip/raw DEFLATE (TPU-accelerated encoder)
   decompress  container-sniffing inflate
   inspect     structural dump of a DEFLATE stream (blocks, types, sizes)
+  verify      token-replay verification against a 32 KB ring buffer +
+              inflater/zlib cross-checks (the reference's check_lld
+              strategy, tests/check_lld.c:1-6, as a user tool)
   png         decode a PNG; print info or dump raw pixels ("R G B" lines,
               the read_img.py format, or raw bytes, the conv_img format)
   trace       per-block cost-model trace CSV (the fd_stats channel,
@@ -90,17 +93,40 @@ def cmd_decompress(args) -> int:
     from .utils.config import CodecConfig
     data = _read(args.input)
     if args.index:
-        # device-parallel decode via the sidecar (decode/tpu_inflate.py)
+        # device-parallel decode via the sidecar (decode/tpu_inflate.py);
+        # container checksums are verified — the parallel path carries the
+        # same guarantee as the sequential one (reference adler verify:
+        # src/deflate_decompress.c:402-404)
         from .decode.index import DecodeIndex, decompress_indexed
+        from .utils.errors import DeflateError
         with open(args.index, "rb") as f:
             idx = DecodeIndex.from_bytes(f.read())
         body = data
+        expected_adler = None
+        max_dist = C.WINDOW_SIZE
+        container = "raw"
         if data[:2] == C.GZIP_MAGIC:
             from .format.containers import gzip_parse_header
             body = data[gzip_parse_header(data):]
+            container = "gzip"
         elif (data[0] & 0x0F) == 8 and ((data[0] << 8) | data[1]) % 31 == 0:
+            cinfo = data[0] >> 4
+            if cinfo > 7:
+                raise DeflateError("E_HDR", f"bad CINFO {cinfo}")
+            max_dist = 1 << (cinfo + 8)
+            if not args.no_verify and len(data) >= 6:
+                expected_adler = int.from_bytes(data[-4:], "big")
             body = data[2:]
-        _write(args.output, decompress_indexed(body, idx))
+        out = decompress_indexed(body, idx, expected_adler=expected_adler,
+                                 max_dist=max_dist)
+        if container == "gzip" and not args.no_verify and len(data) >= 8:
+            from .core.checksum import crc32_np
+            want_crc = int.from_bytes(data[-8:-4], "little")
+            want_isize = int.from_bytes(data[-4:], "little")
+            if crc32_np(out) != want_crc or \
+                    (len(out) & 0xFFFFFFFF) != want_isize:
+                raise DeflateError("E_ADLER", "gzip CRC/ISIZE mismatch")
+        _write(args.output, out)
         return 0
     cfg = CodecConfig(verify_checksums=not args.no_verify)
     if data[:2] == C.GZIP_MAGIC:
@@ -186,6 +212,40 @@ def cmd_inspect(args) -> int:
     return 0
 
 
+def cmd_verify(args) -> int:
+    """Decode-as-you-encode verifier as a user tool — the reference ships
+    this strategy as the buildable check_lld harness (tests/check_lld.c:1-6,
+    Makefile:26-27): every token replayed against an independent 32 KB ring
+    buffer, cross-checked against our own inflater and the CPython zlib
+    oracle, with per-block stats."""
+    from .decode.verify import verify_stream
+    from .utils.errors import CodecError
+    data = _read(args.input)
+    original = _read(args.original) if args.original else None
+    try:
+        reports, checks = verify_stream(data, original)
+    except CodecError as e:
+        print(f"FAIL structure: {e}", file=sys.stderr)
+        return 1
+    tname = {0: "stored", 1: "fixed", 2: "dynamic"}
+    if args.verbose:
+        for i, b in enumerate(reports):
+            print(f"block {i}: {tname.get(b.btype, '?'):8s} "
+                  f"bits={b.bits:8d} out={b.out_bytes:6d} "
+                  f"tokens={b.n_tokens:6d} (lit {b.n_lits}, "
+                  f"match {b.n_matches}, maxdist {b.max_dist})",
+                  file=sys.stderr)
+    ok_all = True
+    for name, ok, detail in checks:
+        print(f"{'PASS' if ok else 'FAIL'} {name}: {detail}",
+              file=sys.stderr)
+        ok_all &= ok
+    n_out = sum(b.out_bytes for b in reports)
+    print(f"{'OK' if ok_all else 'CORRUPT'}: {len(reports)} blocks, "
+          f"{n_out} bytes", file=sys.stderr)
+    return 0 if ok_all else 1
+
+
 def cmd_png(args) -> int:
     from .png.decoder import png_decode
     img = png_decode(_read(args.input))
@@ -269,6 +329,13 @@ def main(argv=None) -> int:
     i.add_argument("--bits-per-line", type=int, default=8,
                    help="bytes per line for --bits")
     i.set_defaults(fn=cmd_inspect)
+
+    v = sub.add_parser("verify")
+    v.add_argument("input")
+    v.add_argument("--original", help="compare decoded output to this file")
+    v.add_argument("-v", "--verbose", action="store_true",
+                   help="print per-block replay stats")
+    v.set_defaults(fn=cmd_verify)
 
     g = sub.add_parser("png")
     g.add_argument("input")

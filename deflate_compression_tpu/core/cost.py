@@ -115,25 +115,45 @@ def block_plan(ll_freq_micro: jnp.ndarray, d_freq_micro: jnp.ndarray,
     init_tail = jnp.concatenate([jnp.zeros((1,), jnp.float32),
                                  jnp.full((max_merge - 1,), BIG)]) \
         + cost_all[0, 0] * 0
-    _, (_, back_k) = jax.lax.scan(step, init_tail,
-                                  jnp.arange(1, M + 1, dtype=jnp.int32))
+    if M <= 16:
+        # Small M: UNROLL both sequential passes. Each scan step is a
+        # handful of ~8-element ops — as lax.scan that is 2M device loop
+        # iterations of pure dispatch overhead (measured ~5.5 ms/shard);
+        # unrolled, XLA fuses the whole DP into a few kernels.
+        opt_tail = init_tail
+        back_list = []
+        for jj in range(1, M + 1):
+            opt_tail, (_, bk) = step(opt_tail, jj)
+            back_list.append(bk)
+        back_k = jnp.stack(back_list)
+    else:
+        _, (_, back_k) = jax.lax.scan(step, init_tail,
+                                      jnp.arange(1, M + 1, dtype=jnp.int32))
     # back_k[j-1] = merge width chosen ending at tile j
 
     # Backtrack from n_micro_valid down to 0, marking block starts.
-    def bt(j, split):
-        k = back_k[jnp.maximum(j - 1, 0)]
-        start = jnp.maximum(j - k, 0)
-        split = split.at[start].set(jnp.where(j > 0, True, split[start]))
-        return jnp.where(j > 0, start, 0), split
+    # `* 0 > 0` data-ties split0 for shard_map's varying-type rule without
+    # semantic coupling to back_k's sign (always False by construction)
+    split0 = jnp.zeros((M,), jnp.bool_).at[0].set(True) | (back_k[:1] * 0 > 0)
+    if M <= 16:
+        jcur = n_micro_valid + back_k[0] * 0
+        split = split0
+        for _ in range(M):
+            k = back_k[jnp.maximum(jcur - 1, 0)]
+            start = jnp.maximum(jcur - k, 0)
+            split = split.at[jnp.where(jcur > 0, start, M)].set(
+                True, mode="drop")
+            jcur = jnp.where(jcur > 0, start, 0)
+    else:
+        def bt_step(carry, _):
+            j, split = carry
+            k = back_k[jnp.maximum(j - 1, 0)]
+            start = jnp.maximum(j - k, 0)
+            split = split.at[start].set(jnp.where(j > 0, True, split[start]))
+            return (jnp.where(j > 0, start, 0), split), None
 
-    def bt_step(carry, _):
-        j, split = carry
-        j2, split = bt(j, split)
-        return (j2, split), None
-
-    split0 = jnp.zeros((M,), jnp.bool_).at[0].set(True) | (back_k[:1] < 0)
-    (jf, split), _ = jax.lax.scan(bt_step,
-                                  (n_micro_valid + back_k[0] * 0, split0),
-                                  None, length=M)
+        (_, split), _ = jax.lax.scan(bt_step,
+                                     (n_micro_valid + back_k[0] * 0, split0),
+                                     None, length=M)
     n_blocks = jnp.sum(split & (jnp.arange(M) < n_micro_valid))
     return split, n_blocks.astype(jnp.int32)

@@ -155,13 +155,48 @@ def find_matches(data: jnp.ndarray, num_candidates: int = 32,
     # walk has the same nearest-first bias); measured ratio cost on the
     # bench corpus is < 0.01% for a ~2x cut in scoring passes.
     FAR_WORDS = min(2, PW - 1) if PW >= 2 else 0
-    best_bytes = jnp.full((S,), -1, jnp.int32)
-    best_cand = jnp.full((S,), -1, jnp.int32)
-    for k in range(1, num_candidates + 1):
-        nbytes, cnd = score_k(k, FAR_WORDS)
-        upd = nbytes > best_bytes         # strict: earlier k (nearer) wins ties
-        best_bytes = jnp.where(upd, nbytes, best_bytes)
-        best_cand = jnp.where(upd, cnd, best_cand)
+    if S <= (1 << 20) and FAR_WORDS == 2 and num_candidates <= 64:
+        # STACKED preselect: all K candidates scored in one (K, S) batch of
+        # fused elementwise ops (the per-k Python loop was ~300 tiny
+        # dispatches, measured ~11 ms/shard of pure op overhead). Same-hash
+        # candidacy comes from ONE run-start scan over the sorted keys
+        # instead of K shifted hash compares, and the winner is selected by
+        # a single packed max — key = (nbytes+1)<<26 | (K-k)<<20 | cand —
+        # which preserves the strict nearest-wins tie-break (smaller k
+        # first) without any gather.
+        K = num_candidates
+        kvec = jnp.arange(1, K + 1, dtype=jnp.int32)[:, None]
+        idx_s = jnp.arange(S, dtype=jnp.int32)
+        run_ne = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                                  hs[1:] != hs[:-1]])
+        seg_start = jax.lax.cummax(jnp.where(run_ne, idx_s, -1))
+        same = kvec <= (idx_s[None, :] - seg_start[None, :])
+        ps_k = jnp.stack([_shifted(ps_pad, k, KM, S)
+                          for k in range(1, K + 1)])
+        okk = same & (ps_k >= 0) & ((ps[None, :] - ps_k) <= C.WINDOW_SIZE)
+        d0 = pw[0][None, :] ^ jnp.stack(
+            [_shifted(pw_pad[0], k, KM, S) for k in range(1, K + 1)])
+        d1 = pw[1][None, :] ^ jnp.stack(
+            [_shifted(pw_pad[1], k, KM, S) for k in range(1, K + 1)])
+        dl = pw[2][None, :] ^ jnp.stack(
+            [_shifted(pw_pad[2], k, KM, S) for k in range(1, K + 1)])
+        e0 = d0 == 0
+        e1 = d1 == 0
+        nww = e0.astype(jnp.int32) + (e0 & e1).astype(jnp.int32)
+        fd = jnp.where(~e0, d0, jnp.where(~e1, d1, dl))
+        nbytes_k = 4 * nww + _tail_bytes(fd)              # 0..11
+        key = jnp.where(okk, ((nbytes_k + 1) << 26) | ((K - kvec) << 20)
+                        | ps_k, -1)
+        mk = jnp.max(key, axis=0)
+        best_cand = jnp.where(mk >= (1 << 26), mk & 0xFFFFF, -1)
+    else:
+        best_bytes = jnp.full((S,), -1, jnp.int32)
+        best_cand = jnp.full((S,), -1, jnp.int32)
+        for k in range(1, num_candidates + 1):
+            nbytes, cnd = score_k(k, FAR_WORDS)
+            upd = nbytes > best_bytes     # strict: earlier k (nearer) wins ties
+            best_bytes = jnp.where(upd, nbytes, best_bytes)
+            best_cand = jnp.where(upd, cnd, best_cand)
 
     # exact rescore of the winner: one row gather + 9-word compare
     fc = jnp.maximum(best_cand, 0)

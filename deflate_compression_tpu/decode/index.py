@@ -103,10 +103,23 @@ class DecodeIndex:
 
 
 def build_index(stream: bytes, bit_pos: int = 0,
-                sub_size: int = SUB_SIZE) -> DecodeIndex:
+                sub_size: int = SUB_SIZE,
+                prefer_native: bool = True) -> DecodeIndex:
     """One host pass over a raw DEFLATE stream: records block boundaries (and
     sub-entries every `sub_size` output bytes) by decoding symbols but only
-    COUNTING output bytes (no window needed)."""
+    COUNTING output bytes (no window needed).
+
+    Dispatches to the C++ native pass (native/deflate_native.cpp
+    dct_build_index, >100 MB/s) when available; the Python loop below is the
+    oracle path. The block loop replayed is the reference's
+    src/deflate_decompress.c:291-345."""
+    if prefer_native:
+        from .. import native_bridge
+        if native_bridge.available():
+            bb, bo, bt, sb, so, sk, out_len = native_bridge.build_index_native(
+                bytes(stream), bit_pos, sub_size)
+            return DecodeIndex(bb, bo, bt.astype(np.uint8), out_len,
+                               sb, so, sk)
     r = BitReader(stream, bit_pos)
     bit_base, out_start, btypes = [], [], []
     sub_bit, sub_out, sub_blk = [], [], []
@@ -210,12 +223,20 @@ def index_from_shards(shard_results, shard_comp_bits, shard_out_lens) -> DecodeI
 
 
 def decompress_indexed(stream: bytes, index: DecodeIndex,
-                       shard_out: int = 1 << 20) -> bytes:
+                       shard_out: int = 1 << 20,
+                       expected_adler: int | None = None,
+                       max_dist: int = C.WINDOW_SIZE) -> bytes:
     """Decode a raw DEFLATE stream with the TPU-parallel decoder, batching
     blocks into device groups of ~shard_out output bytes. The previous
     group's last 32 KB rides along as window context so match distances may
-    cross group boundaries (general streams have no window resets)."""
+    cross group boundaries (general streams have no window resets).
+
+    `expected_adler` (the zlib footer) is verified over the decoded bytes —
+    the parallel path carries the same never-silently-wrong guarantee as the
+    sequential one (reference verify: src/deflate_decompress.c:402-404).
+    `max_dist` bounds match distances to the container's declared window."""
     import jax.numpy as jnp
+    from ..core.checksum import adler32_combine, adler32_np
     from .tpu_inflate import decode_blocks
 
     W = C.WINDOW_SIZE
@@ -224,6 +245,7 @@ def decompress_indexed(stream: bytes, index: DecodeIndex,
     out_parts = []
     prev_tail = np.zeros(W, np.uint8)
     plen = 0
+    adler = 1
     i = 0
     while i < n:
         j = i
@@ -275,14 +297,21 @@ def decompress_indexed(stream: bytes, index: DecodeIndex,
                             jnp.asarray(sk), jnp.int32(ns),
                             jnp.int32(plen + span), S,
                             prefix=jnp.asarray(prev_tail),
-                            prefix_len=jnp.int32(plen))
+                            prefix_len=jnp.int32(plen),
+                            max_dist=jnp.int32(max_dist))
         if not bool(res["ok"]):
             raise DeflateError("E_BADCODE", "indexed decode failed")
         full = np.asarray(res["out"])[:plen + span]
-        out_parts.append(full[plen:].tobytes())
+        new = full[plen:]
+        out_parts.append(new.tobytes())
+        if expected_adler is not None:
+            adler = adler32_combine(adler, adler32_np(new), len(new))
         tail = full[max(0, plen + span - W):]
         prev_tail = np.zeros(W, np.uint8)
         prev_tail[:len(tail)] = tail
         plen = len(tail)
         i = j
+    if expected_adler is not None and adler != (expected_adler & 0xFFFFFFFF):
+        raise DeflateError("E_ADLER",
+                           f"adler mismatch {expected_adler:#x} != {adler:#x}")
     return b"".join(out_parts)

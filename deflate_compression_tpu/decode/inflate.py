@@ -109,20 +109,27 @@ def _read_dynamic_tables(r: BitReader):
 
 def inflate_raw(data: bytes, bit_pos: int = 0,
                 max_output: int | None = None,
-                prefer_native: bool = True) -> tuple[bytes, int]:
+                prefer_native: bool = True,
+                max_dist: int = C.WINDOW_SIZE) -> tuple[bytes, int]:
     """Inflate a raw DEFLATE stream. Returns (decompressed, end_bit_pos).
+
+    `max_dist` bounds match distances to the declared sliding window (the
+    reference derives it from the zlib header's CINFO,
+    src/deflate_decompress.c:360, and bounds back-copies :278-279).
 
     Dispatches to the C++ native runtime when available (native_bridge);
     the Python path below is the independent reference implementation."""
     if prefer_native and max_output is None:
         from .. import native_bridge
         if native_bridge.available():
-            return native_bridge.inflate_raw_native(bytes(data), bit_pos)
-    return _inflate_raw_py(data, bit_pos, max_output)
+            return native_bridge.inflate_raw_native(bytes(data), bit_pos,
+                                                    max_dist)
+    return _inflate_raw_py(data, bit_pos, max_output, max_dist)
 
 
 def _inflate_raw_py(data: bytes, bit_pos: int = 0,
-                    max_output: int | None = None) -> tuple[bytes, int]:
+                    max_output: int | None = None,
+                    max_dist: int = C.WINDOW_SIZE) -> tuple[bytes, int]:
     """Pure-Python inflater (oracle path)."""
     r = BitReader(data, bit_pos)
     out = bytearray()
@@ -168,6 +175,9 @@ def _inflate_raw_py(data: bytes, bit_pos: int = 0,
                     if dval > len(out):
                         raise DeflateError("E_DIST",
                                            "distance beyond output start")
+                    if dval > max_dist:
+                        raise DeflateError("E_DIST",
+                                           "distance beyond declared window")
                     # overlapping copy, byte at a time semantics
                     start = len(out) - dval
                     if dval >= length:
@@ -204,7 +214,8 @@ def zlib_decompress(data: bytes, verify_adler: bool = True) -> bytes:
     if cinfo > 7:
         raise DeflateError("E_HDR", f"bad CINFO {cinfo}")
 
-    out, end_bits = inflate_raw(data, 16)
+    # declared window bounds every match distance (reference :360, :278-279)
+    out, end_bits = inflate_raw(data, 16, max_dist=1 << (cinfo + 8))
     adler_off = (end_bits + 7) // 8
     if verify_adler:
         if adler_off + 4 > len(data):

@@ -196,8 +196,8 @@ def _canon_tables(lengths: jnp.ndarray, n: int, max_bits: int):
 
 
 def _build_lut(first, limit, base, max_bits: int, rev_np: np.ndarray):
-    """(NB, 2^max_bits) i32 LUT over the RAW LSB-first peek value:
-    entry = sym_index | (code_len << 9); code_len 0 => invalid prefix.
+    """(NB, 2^max_bits) rank/length decode tables over the RAW LSB-first
+    peek value. Returns (rank, code_len), code_len 0 => invalid prefix.
     Pure elementwise build (the bit reversal and all length candidates are
     host constants) — no gathers."""
     found = jnp.zeros((first.shape[0], 1 << max_bits), jnp.int32)
@@ -207,7 +207,17 @@ def _build_lut(first, limit, base, max_bits: int, rev_np: np.ndarray):
         hit = (c >= first[:, l:l + 1]) & (c < limit[:, l:l + 1]) & (found == 0)
         found = jnp.where(hit, l, found)
         idx = jnp.where(hit, base[:, l:l + 1] + c - first[:, l:l + 1], idx)
-    return idx | (found << 9)
+    return idx, found
+
+
+def _merge_lut(rank, cl, pay, cl_shift: int):
+    """Fold the per-rank payload table INTO the peek LUT so the symbol loop
+    needs ONE gather per alphabet instead of rank-LUT + payload: entry =
+    pay[rank] | (code_len << cl_shift). One small (NB, 2^lut_bits)
+    take_along_axis at table-build time (runs once per decode dispatch)
+    kills a per-SYMBOL gather — the classic zlib-ng direct-entry table,
+    rebuilt here as batched vector math."""
+    return jnp.take_along_axis(pay, rank, axis=1) | (cl << cl_shift)
 
 
 # ---------------------------------------------------------------------------
@@ -228,7 +238,8 @@ def decode_blocks(comp_words: jnp.ndarray,
                   out_size: int,
                   prefix: jnp.ndarray | None = None,
                   prefix_len: jnp.ndarray | None = None,
-                  lut_bits: int = MAX_BITS):
+                  lut_bits: int = MAX_BITS,
+                  max_dist: jnp.ndarray | int = C.WINDOW_SIZE):
     """Decode a DEFLATE substream given its block index + sub-entries.
 
     Args:
@@ -252,9 +263,13 @@ def decode_blocks(comp_words: jnp.ndarray,
         suffices for THIS framework's encoder (format/deflate.TREE_LIMIT)
         and cuts the per-block LUT build 16x. A code longer than lut_bits
         flags the lane bad (strict), never decodes wrong.
+      max_dist: declared sliding-window size — any match distance above it
+        flags the lane bad (the reference bounds distances by the zlib
+        header's CINFO window, src/deflate_decompress.c:360,278-279).
 
     Returns dict(out=u8[out_size], ok=bool, bad_lanes=bool[NL]).
     """
+    max_dist = jnp.asarray(max_dist, jnp.int32)
     NB = blk_bit.shape[0]
     NL = sub_bit.shape[0]
     S = out_size
@@ -295,9 +310,10 @@ def decode_blocks(comp_words: jnp.ndarray,
     cl_first, cl_limit, cl_base, cl_order, cl_over = _canon_tables(
         clen_lens, C.NUM_CLEN, C.MAX_CLEN_BITS)
     bbad = bbad | (is_dyn & cl_over)
-    cl_lut = _build_lut(cl_first, cl_limit, cl_base, C.MAX_CLEN_BITS, _REV7)
-    cl_lut_f = cl_lut.reshape(-1)
-    cl_order_f = cl_order.reshape(-1)
+    cl_rank, cl_cl = _build_lut(cl_first, cl_limit, cl_base,
+                                C.MAX_CLEN_BITS, _REV7)
+    # merged entry: symbol (5 bits) | code_len << 5 — one gather per RLE step
+    cl_lut_f = _merge_lut(cl_rank, cl_cl, cl_order, 5).reshape(-1)
 
     # RLE loop over code-length symbols (masked, <= 316 effective steps)
     total_lens = hlit + hdist
@@ -316,9 +332,9 @@ def decode_blocks(comp_words: jnp.ndarray,
         e = cl_lut_f[blanes * (1 << C.MAX_CLEN_BITS)
                      + (lo & np.uint32((1 << C.MAX_CLEN_BITS) - 1)
                         ).astype(jnp.int32)]
-        cl = e >> 9
+        cl = e >> 5
         bad = bad | (act & (cl == 0))
-        sym = cl_order_f[blanes * C.NUM_CLEN + (e & 0x1FF)]
+        sym = e & 0x1F
         is_lit = sym < 16
         is16 = sym == 16
         is17 = sym == 17
@@ -353,8 +369,7 @@ def decode_blocks(comp_words: jnp.ndarray,
     ll_lens = jnp.where(tl[None, :] < hlit[:, None], ll_dyn, 0)
     td = jnp.arange(_N_D, dtype=jnp.int32)
     d_gather = jnp.clip(hlit[:, None] + td[None, :], 0, _RLE_W - 1)
-    d_lens = jnp.take_along_axis(lens, jnp.minimum(d_gather, _RLE_W - 1)
-                                 if False else d_gather, axis=1)
+    d_lens = jnp.take_along_axis(lens, d_gather, axis=1)
     d_lens = jnp.where(td[None, :] < hdist[:, None], d_lens, 0)
 
     ll_lens = jnp.where(is_fix[:, None],
@@ -369,18 +384,18 @@ def decode_blocks(comp_words: jnp.ndarray,
     bbad = bbad | (huff & (ll_over | d_over))
 
     lsz = 1 << lut_bits
-    ll_lut_f = _build_lut(ll_first, ll_limit, ll_base, lut_bits,
-                          _rev_np(lut_bits)).reshape(-1)
-    d_lut_f = _build_lut(d_first, d_limit, d_base, lut_bits,
-                         _rev_np(lut_bits)).reshape(-1)
+    ll_rank, ll_cl = _build_lut(ll_first, ll_limit, ll_base, lut_bits,
+                                _rev_np(lut_bits))
+    d_rank, d_cl = _build_lut(d_first, d_limit, d_base, lut_bits,
+                              _rev_np(lut_bits))
 
-    # Rank -> payload tables, built ONCE per decode (tiny NB×288 gathers):
-    # the symbol loop then needs exactly TWO gathers per alphabet (flat LUT
-    # for rank|cl, payload for everything else) instead of gathering order,
-    # base and extra tables separately every step.
-    #   litlen payload: val(9: literal byte or len_base) | leb(3)<<9
-    #                   | kind(2)<<12  (0=lit, 1=eob, 2=len, 3=bad)
-    #   dist payload:   dbase(15) | deb(4)<<15 | bad(1)<<19
+    # Rank -> payload tables (tiny NB×288 math), then folded INTO the peek
+    # LUTs (_merge_lut) so the symbol loop needs exactly ONE gather per
+    # alphabet. Merged litlen entry layout:
+    #   val(9: literal byte or len_base) | leb(3)<<9 | kind(2)<<12
+    #   (0=lit, 1=eob, 2=len, 3=bad) | cl(4)<<14  — cl 0 => invalid prefix
+    #   | val2(8)<<18 | cl2(4)<<26 | pair(1)<<30  — two-literal fast entry
+    # Merged dist entry: dbase(15) | deb(4)<<15 | bad(1)<<19 | dcl(4)<<20.
     len_base = jnp.asarray(C.LENGTH_BASE)
     len_extra = jnp.asarray(C.LENGTH_EXTRA)
     lsym = ll_order                                     # (NB, 288)
@@ -391,16 +406,32 @@ def decode_blocks(comp_words: jnp.ndarray,
     l_val = jnp.where(l_kind == 0, lsym,
                       jnp.where(l_kind == 2, len_base[li_t], 0))
     l_eb = jnp.where(l_kind == 2, len_extra[li_t], 0)
-    ll_pay_f = (l_val | (l_eb << 9) | (l_kind << 12)).reshape(-1)
+    ll_pay = l_val | (l_eb << 9) | (l_kind << 12)
+    ll_ent = _merge_lut(ll_rank, ll_cl, ll_pay, 14)     # (NB, lsz)
+
+    # Two-literal entries (when both codes fit in one lut_bits peek, ONE
+    # loop step decodes BOTH): the continuation entry at peek >> cl1 is
+    # trustworthy iff its code length fits the remaining peeked bits.
+    pk = jnp.arange(lsz, dtype=jnp.int32)[None, :]
+    cl1 = jnp.clip(ll_ent >> 14, 0, lut_bits)           # avoid >>32 UB paths
+    e2 = jnp.take_along_axis(ll_ent, pk >> cl1, axis=1)
+    cl2 = (e2 >> 14) & 0xF
+    pair_ok = (((ll_ent >> 12) & 3) == 0) & (((ll_ent >> 14) & 0xF) > 0) \
+        & (((e2 >> 12) & 3) == 0) & (cl2 > 0) \
+        & (((ll_ent >> 14) & 0xF) + cl2 <= lut_bits)
+    ll_ent = ll_ent | jnp.where(
+        pair_ok, ((e2 & 0xFF) << 18) | (cl2 << 26) | (1 << 30), 0)
+    ll_lut_f = ll_ent.reshape(-1)
 
     dist_base = jnp.asarray(C.DIST_BASE)
     dist_extra = jnp.asarray(C.DIST_EXTRA)
     dsym_t = d_order                                    # (NB, 32)
     di_t = jnp.clip(dsym_t, 0, 29)
     d_bad_t = (dsym_t >= 30).astype(jnp.int32)
-    d_pay_f = (jnp.where(d_bad_t == 0, dist_base[di_t], 0)
-               | (jnp.where(d_bad_t == 0, dist_extra[di_t], 0) << 15)
-               | (d_bad_t << 19)).reshape(-1)
+    d_pay = (jnp.where(d_bad_t == 0, dist_base[di_t], 0)
+             | (jnp.where(d_bad_t == 0, dist_extra[di_t], 0) << 15)
+             | (d_bad_t << 19))
+    d_lut_f = _merge_lut(d_rank, d_cl, d_pay, 20).reshape(-1)
 
     # -------------------------------------------- phase B: sub-entry lanes
     hw = _halfwords(comp_words)
@@ -421,43 +452,49 @@ def decode_blocks(comp_words: jnp.ndarray,
     tok0 = jnp.zeros((S + 1,), jnp.int32)
 
     def one_sym(bp, ocur, done, lbad, tok):
-        """Decode one symbol in every live lane: 7 descriptor ops total
-        (2-gather peek48, 2 gathers per alphabet, 1 token scatter)."""
+        """Decode one symbol (or one two-literal pair) in every live lane:
+        4 descriptor ops total (1-row-gather peek48, 1 merged-LUT gather per
+        alphabet, 1 token scatter)."""
         act = ~done & ~lbad
         lo, hi = _peek48(hw, bp)
         e = ll_lut_f[lblk * lsz + (lo & np.uint32(lsz - 1)
                                    ).astype(jnp.int32)]
-        cl = e >> 9
+        cl = (e >> 14) & 0xF
         lbad = lbad | (act & (cl == 0))
-        pay = ll_pay_f[lblk * _N_LL + (e & 0x1FF)]
-        kind = pay >> 12                                 # 0 lit/1 eob/2 len/3 bad
+        kind = (e >> 12) & 3                             # 0 lit/1 eob/2 len/3 bad
         is_lit = kind == 0
         is_eob = kind == 1
         is_len = kind == 2
         lbad = lbad | (act & (kind == 3))                # RFC: never occurs
+        # two-literal fast entry, demoted to single at the lane boundary
+        # (the second literal is the NEXT lane's first token there)
+        use_pair = ((e >> 30) & 1 == 1) & (ocur + 2 <= lane_end)
+        cl2 = jnp.where(use_pair, (e >> 26) & 0xF, 0)
 
-        leb = (pay >> 9) & 0x7
+        leb = (e >> 9) & 0x7
         lev = (_extract(lo, hi, cl) & _mask(leb)).astype(jnp.int32)
-        mlen = (pay & 0x1FF) + lev
+        mlen = (e & 0x1FF) + lev
         off2 = cl + jnp.where(is_len, leb, 0)
 
         de = d_lut_f[lblk * lsz
                      + (_extract(lo, hi, off2)
                         & np.uint32(lsz - 1)).astype(jnp.int32)]
-        dcl = de >> 9
-        dpay = d_pay_f[lblk * _N_D + (de & 0x1FF)]
-        lbad = lbad | (act & is_len & ((dcl == 0) | (dpay >> 19 != 0)))
-        deb = (dpay >> 15) & 0xF
+        dcl = (de >> 20) & 0xF
+        lbad = lbad | (act & is_len & ((dcl == 0) | ((de >> 19) & 1 != 0)))
+        deb = (de >> 15) & 0xF
         off3 = off2 + dcl
         dev = (_extract(lo, hi, off3) & _mask(deb)).astype(jnp.int32)
-        mdist = (dpay & 0x7FFF) + dev
+        mdist = (de & 0x7FFF) + dev
+        lbad = lbad | (act & is_len & (mdist > max_dist))  # declared window
 
         emit = act & (is_lit | is_len)
-        adv = jnp.where(is_lit, 1, mlen)
-        pack = (jnp.where(is_lit, pay & 0x1FF, mlen)
-                | (jnp.where(is_len, mdist, 0) << 9)
+        adv = jnp.where(is_len, mlen, jnp.where(use_pair, 2, 1))
+        pack = (jnp.where(is_lit, e & 0x1FF, mlen)
+                | (jnp.where(is_len, mdist,
+                             jnp.where(use_pair, (e >> 18) & 0xFF, 0)) << 9)
                 | (1 << 25)
-                | (jnp.where(is_len, 1, 0) << 26))
+                | (jnp.where(is_len, 1, 0) << 26)
+                | (jnp.where(use_pair, 1, 0) << 27))
         # non-emitting lanes park at sink row S (garbage there is sliced
         # off) — no read-back gather of tok in the loop body
         slot = jnp.where(emit, jnp.clip(ocur, 0, S), S)
@@ -466,7 +503,7 @@ def decode_blocks(comp_words: jnp.ndarray,
         lbad = lbad | (act & (ocur2 > lane_end))         # token overran lane
         lbad = lbad | (act & is_eob)                     # EOB before lane end
         done = done | (act & (ocur2 >= lane_end) & ~lbad)
-        bp2 = bp + cl + jnp.where(is_len, leb + dcl + deb, 0)
+        bp2 = bp + cl + cl2 + jnp.where(is_len, leb + dcl + deb, 0)
         lbad = lbad | (act & (bp2 > bit_budget))
         bp = jnp.where(act, bp2, bp)
         return bp, ocur2, done, lbad, tok
@@ -516,8 +553,10 @@ def decode_blocks(comp_words: jnp.ndarray,
     # then forward-fill with cummax — an NB-element scatter + one elementwise
     # scan, instead of searchsorted (which lowers to log(NB) S-sized gather
     # rounds, ~8 ms/shard at the ~100M elem/s descriptor floor)
+    # out-of-range starts are DROPPED, not clamped (a degenerate empty
+    # trailing block at blk_out == S must not alias onto position S-1)
     bstart_mark = jnp.zeros((S,), jnp.int32).at[
-        jnp.where(blive, jnp.clip(blk_out, 0, S - 1), S)].max(
+        jnp.where(blive & (blk_out >= 0) & (blk_out < S), blk_out, S)].max(
         blanes + 1, mode="drop")
     blk_of_pos = jnp.clip(jax.lax.cummax(bstart_mark) - 1, 0, NB - 1)
     # ONE (NB, 3)-row gather for the three per-block fields
@@ -548,6 +587,12 @@ def decode_blocks(comp_words: jnp.ndarray,
     tok_sc = tok[s_c]                   # ONE gather replaces t_match/t_d[s_c]
     d_j = jnp.where((s_j >= 0) & (((tok_sc >> 26) & 1) == 1),
                     (tok_sc >> 9) & 0xFFFF, 0)
+    # second byte of a two-literal token (phase B pair entries): covered by
+    # the pair token one position back — its value rides in tok_sc, free
+    pair2 = ((s_j >= 0) & (((tok_sc >> 27) & 1) == 1)
+             & (j_idx == s_j + 1) & ~pos_sto & (j_idx >= plen))
+    lit_val = jnp.where(pair2, ((tok_sc >> 9) & 0xFF).astype(jnp.uint32),
+                        lit_val)
     mpos = (d_j > 0) & ~pos_sto & (j_idx >= plen)
     rd = jnp.where(mpos, d_j, 0)
     prev_rd = jnp.concatenate([jnp.full((1,), -1, jnp.int32), rd[:-1]])

@@ -317,13 +317,24 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     # TPU decoder build 2^11 LUTs instead of 2^15 — a 16x cut in the
     # decode's per-block table-build traffic (decode/tpu_inflate.py
     # lut_bits). Any conformant inflater accepts the streams (11 <= 15).
+    #
+    # The dist alphabet rides the SAME vmapped package-merge as litlen
+    # (zero-padded 30 -> 286): the extra inactive symbols change nothing
+    # (package-merge ignores zero-frequency leaves) and one 2NB-wide level
+    # scan replaces two sequential scan pipelines — the level steps are
+    # tiny, so their count (not their width) is what costs.
     build_lim = jax.vmap(
         lambda f: huffman.huffman_code_lengths(f, TREE_LIMIT))
-    ll_len_dyn = build_lim(ll_freq_t)                     # (NB, 286)
-    d_len_dyn = build_lim(d_freq_t)                       # (NB, 30)
+    d_freq_pad = jnp.concatenate(
+        [d_freq_t, jnp.zeros((NB, C.NUM_LITLEN - C.NUM_DIST), jnp.int32)],
+        axis=1)
+    both_len = build_lim(jnp.concatenate([ll_freq_t, d_freq_pad], axis=0))
+    ll_len_dyn = both_len[:NB]                            # (NB, 286)
+    d_len_dyn = both_len[NB:, :C.NUM_DIST]                # (NB, 30)
     codes_lim = jax.vmap(lambda l: huffman.canonical_codes(l, TREE_LIMIT))
-    ll_code_dyn = codes_lim(ll_len_dyn)
-    d_code_dyn = codes_lim(d_len_dyn)
+    both_code = codes_lim(both_len)
+    ll_code_dyn = both_code[:NB]
+    d_code_dyn = both_code[NB:, :C.NUM_DIST]
 
     # ------------------------------------------------- tree description (RLE)
     sym_max = jnp.max(jnp.where(ll_len_dyn > 0,
@@ -615,7 +626,12 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     stride = jnp.maximum((n_tok_all + NSUB - NB - 1) // (NSUB - NB), 1)
     sel = chosen & huff_pos & ((cs % stride == 0) | first_in_blk)
     sel_rank = jnp.cumsum(sel.astype(jnp.int32)) - sel.astype(jnp.int32)
-    tgt_e = jnp.where(sel, jnp.minimum(sel_rank, NSUB - 1), NSUB)
+    # overflow (unreachable with the stride arithmetic above) DROPS the
+    # entry and raises a loud stat instead of silently clamp-colliding on
+    # slot NSUB-1 — a dropped BLOCK-FIRST entry would leave that block's
+    # range undecoded with ok still True (advisor r3 finding)
+    sub_overflow = jnp.any(sel & (sel_rank >= NSUB))
+    tgt_e = jnp.where(sel & (sel_rank < NSUB), sel_rank, NSUB)
     sub = jnp.full((NSUB + 1, 3), jnp.int32(-1)).at[:, 1].set(
         jnp.int32(1 << 30)).at[tgt_e].set(
         jnp.stack([off_pos, pos, blk_of_pos], axis=1))
@@ -642,6 +658,7 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
         "sub_bit": jnp.where(ev, entry_bit, -1),
         "sub_out": jnp.where(ev, entry_pos, jnp.int32(1 << 30)),
         "sub_blk": jnp.where(ev, entry_blk, -1),
+        "sub_overflow": sub_overflow,
     }
     return {"words": words, "total_bits": total_bits, **stats}
 

@@ -55,6 +55,18 @@ def get_lib():
                 ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int64)]
+            lib.dct_inflate2.restype = ctypes.c_int64
+            lib.dct_inflate2.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            lib.dct_build_index.restype = ctypes.c_int64
+            lib.dct_build_index.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, i64p, i64p, ctypes.c_void_p,
+                ctypes.c_int64, i64p, i64p, ctypes.c_void_p,
+                ctypes.c_int64, i64p, i64p, i64p]
             lib.dct_zlib_decompress.restype = ctypes.c_int64
             lib.dct_zlib_decompress.argtypes = [
                 ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
@@ -65,7 +77,7 @@ def get_lib():
             lib.dct_adler32.restype = ctypes.c_uint32
             lib.dct_adler32.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                                         ctypes.c_uint32]
-            if lib.dct_abi_version() != 1:  # pragma: no cover
+            if lib.dct_abi_version() != 2:  # pragma: no cover
                 return None
             _lib = lib
         except OSError as e:  # pragma: no cover
@@ -94,7 +106,8 @@ def _grow_call(fn, data: bytes, *args, initial_cap: int | None = None):
                            f"native inflate error {int(r)}")
 
 
-def inflate_raw_native(data: bytes, bit_pos: int = 0):
+def inflate_raw_native(data: bytes, bit_pos: int = 0,
+                       max_dist: int = 32768):
     """Native inflate_raw; returns (bytes, end_bit_pos) like the Python one."""
     lib = get_lib()
     from .utils.errors import DeflateError
@@ -102,8 +115,8 @@ def inflate_raw_native(data: bytes, bit_pos: int = 0):
     end = ctypes.c_int64(0)
     while True:
         out = ctypes.create_string_buffer(cap)
-        r = lib.dct_inflate(data, len(data), bit_pos, out, cap,
-                            ctypes.byref(end))
+        r = lib.dct_inflate2(data, len(data), bit_pos, out, cap,
+                             ctypes.byref(end), max_dist)
         if r >= 0:
             return out.raw[:r], int(end.value)
         if r == -8:
@@ -113,6 +126,47 @@ def inflate_raw_native(data: bytes, bit_pos: int = 0):
             continue
         raise DeflateError(_ERRNAMES.get(int(r), "E_HDR"),
                            f"native inflate error {int(r)}")
+
+
+def build_index_native(data: bytes, bit_pos: int = 0, sub_size: int = 1024):
+    """Native one-pass decode-index construction. Returns (blk_bits,
+    blk_outs, blk_types, sub_bits, sub_outs, sub_blks, out_len) numpy
+    arrays, or raises DeflateError on malformed streams."""
+    import numpy as np
+    lib = get_lib()
+    from .utils.errors import DeflateError
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    blk_cap = 256
+    sub_cap = max(4096, 2 * (4 * len(data) // max(sub_size, 1) + 2))
+    while True:
+        bb = np.zeros(blk_cap, np.int64)
+        bo = np.zeros(blk_cap, np.int64)
+        bt = np.zeros(blk_cap, np.uint8)
+        sb = np.zeros(sub_cap, np.int64)
+        so = np.zeros(sub_cap, np.int64)
+        sk = np.zeros(sub_cap, np.int32)
+        nb = ctypes.c_int64(0)
+        ns = ctypes.c_int64(0)
+        end = ctypes.c_int64(0)
+        r = lib.dct_build_index(
+            data, len(data), bit_pos, sub_size,
+            bb.ctypes.data_as(i64p), bo.ctypes.data_as(i64p),
+            bt.ctypes.data_as(ctypes.c_void_p), blk_cap,
+            sb.ctypes.data_as(i64p), so.ctypes.data_as(i64p),
+            sk.ctypes.data_as(ctypes.c_void_p), sub_cap,
+            ctypes.byref(nb), ctypes.byref(ns), ctypes.byref(end))
+        if r >= 0:
+            n, m = int(nb.value), int(ns.value)
+            return (bb[:n], bo[:n], bt[:n], sb[:m], so[:m], sk[:m], int(r))
+        if r == -8:  # E_SIZE: grow both tables and retry
+            blk_cap *= 8
+            sub_cap *= 4
+            if blk_cap > (1 << 28):
+                raise DeflateError("E_SIZE", "index table cap exceeded")
+            continue
+        raise DeflateError(_ERRNAMES.get(int(r), "E_HDR"),
+                           f"native index error {int(r)}")
 
 
 def zlib_decompress_native(data: bytes, verify: bool = True) -> bytes:

@@ -301,11 +301,15 @@ uint32_t dct_adler32(const uint8_t* p, int64_t n, uint32_t adler) {
   return (b << 16) | a;
 }
 
-// Inflate a raw DEFLATE stream starting at bit `bit_pos`.
+// Inflate a raw DEFLATE stream starting at bit `bit_pos`, rejecting match
+// distances above `max_dist` (the declared sliding window — the reference
+// derives it from the zlib header, src/deflate_decompress.c:360, and bounds
+// back-copies :278-279).
 // On success: returns output length, *end_bit_pos = next bit after BFINAL
 // block. Errors return Err (< 0). E_SIZE => retry with larger out_cap.
-int64_t dct_inflate(const uint8_t* inp, int64_t in_len, int64_t bit_pos,
-                    uint8_t* out, int64_t out_cap, int64_t* end_bit_pos) {
+int64_t dct_inflate2(const uint8_t* inp, int64_t in_len, int64_t bit_pos,
+                     uint8_t* out, int64_t out_cap, int64_t* end_bit_pos,
+                     int64_t max_dist) {
   init_fixed();
   BitIn in{inp, in_len, bit_pos};
   int64_t opos = 0;
@@ -366,7 +370,7 @@ int64_t dct_inflate(const uint8_t* inp, int64_t in_len, int64_t bit_pos,
           if (ds > 29) return E_SYM;
           int64_t dist = DIST_BASE[ds] + in.read(DIST_EXTRA[ds]);
           if (!in.ok()) return E_TRUNC;
-          if (dist > opos) return E_DIST;
+          if (dist > opos || dist > max_dist) return E_DIST;
           if (opos + length > out_cap) return E_SIZE;
           const uint8_t* src = out + opos - dist;
           uint8_t* dst = out + opos;
@@ -388,16 +392,24 @@ int64_t dct_inflate(const uint8_t* inp, int64_t in_len, int64_t bit_pos,
   return opos;
 }
 
-// zlib container (ref :347-409). verify!=0 checks adler32.
+int64_t dct_inflate(const uint8_t* inp, int64_t in_len, int64_t bit_pos,
+                    uint8_t* out, int64_t out_cap, int64_t* end_bit_pos) {
+  return dct_inflate2(inp, in_len, bit_pos, out, out_cap, end_bit_pos, 32768);
+}
+
+// zlib container (ref :347-409). verify!=0 checks adler32. Distances are
+// bounded by the header's declared window 1 << (CINFO+8) (ref :360).
 int64_t dct_zlib_decompress(const uint8_t* inp, int64_t n, uint8_t* out,
                             int64_t out_cap, int verify) {
   if (n < 6) return E_HDR;
   uint8_t cmf = inp[0], flg = inp[1];
   if ((cmf & 0x0F) != 8) return E_HDR;
+  if ((cmf >> 4) > 7) return E_HDR;  // CINFO
   if ((((uint32_t)cmf << 8) | flg) % 31 != 0) return E_HDR;
   if (flg & 0x20) return E_HDR;  // FDICT
+  int64_t window = (int64_t)1 << ((cmf >> 4) + 8);
   int64_t end_bits = 0;
-  int64_t len = dct_inflate(inp, n, 16, out, out_cap, &end_bits);
+  int64_t len = dct_inflate2(inp, n, 16, out, out_cap, &end_bits, window);
   if (len < 0) return len;
   if (verify) {
     int64_t off = (end_bits + 7) / 8;
@@ -409,6 +421,100 @@ int64_t dct_zlib_decompress(const uint8_t* inp, int64_t n, uint8_t* out,
   return len;
 }
 
-int dct_abi_version() { return 1; }
+// Build a decode index (decode/index.py .dcx sidecar) over a raw DEFLATE
+// stream in one pass: per coding block (bit offset, output offset, btype),
+// plus a sub-entry at the first token on/after every `sub_size` output
+// bytes. Symbols are decoded but output is only COUNTED — no window buffer
+// (the block loop being replayed is the reference's
+// src/deflate_decompress.c:291-345). Returns total output length; E_SIZE if
+// blk_cap/sub_cap are too small (caller grows + retries).
+int64_t dct_build_index(const uint8_t* inp, int64_t in_len, int64_t bit_pos,
+                        int64_t sub_size, int64_t* blk_bits,
+                        int64_t* blk_outs, uint8_t* blk_types,
+                        int64_t blk_cap, int64_t* sub_bits,
+                        int64_t* sub_outs, int32_t* sub_blks,
+                        int64_t sub_cap, int64_t* n_blocks, int64_t* n_subs,
+                        int64_t* end_bit_pos) {
+  init_fixed();
+  BitIn in{inp, in_len, bit_pos};
+  int64_t opos = 0, nb = 0, ns = 0;
+  static thread_local Lut tl_ll, tl_d;
+
+  for (;;) {
+    if (nb >= blk_cap) return E_SIZE;
+    blk_bits[nb] = in.pos;
+    blk_outs[nb] = opos;
+    uint32_t bfinal = in.read(1);
+    uint32_t btype = in.read(2);
+    if (!in.ok()) return E_TRUNC;
+    if (btype == 3) return E_BTYPE;
+    blk_types[nb] = (uint8_t)btype;
+    int64_t blk_i = nb++;
+    if (btype == 0) {
+      in.align();
+      uint32_t len = in.read(16);
+      uint32_t nlen = in.read(16);
+      if (!in.ok()) return E_TRUNC;
+      if (len != (~nlen & 0xFFFF)) return E_STORED;
+      if ((in.pos >> 3) + len > in_len) return E_TRUNC;
+      opos += len;
+      in.pos += (int64_t)len * 8;
+    } else {
+      Lut *ll, *dd;
+      if (btype == 1) {
+        ll = &g_fixed_ll;
+        dd = &g_fixed_d;
+      } else {
+        int64_t e = read_dynamic(in, &tl_ll, &tl_d);
+        if (e) return e;
+        ll = &tl_ll;
+        dd = &tl_d;
+      }
+      int64_t next_mark = opos;      // block start always gets a sub-entry
+      for (;;) {
+        if (opos >= next_mark) {
+          if (ns >= sub_cap) return E_SIZE;
+          sub_bits[ns] = in.pos;
+          sub_outs[ns] = opos;
+          sub_blks[ns] = (int32_t)blk_i;
+          ns++;
+          next_mark = (opos / sub_size + 1) * sub_size;
+        }
+        int32_t ent = lut_decode(ll, in.peek64());
+        int l = ent & 0xFF;
+        if (l == 0) return E_BADCODE;
+        in.pos += l;
+        if (!in.ok()) return E_TRUNC;
+        int s = ent >> 8;
+        if (s < 256) {
+          opos++;
+        } else if (s == 256) {
+          break;
+        } else {
+          if (s > 285) return E_SYM;
+          int li = s - 257;
+          int64_t length = LEN_BASE[li] + in.read(LEN_EXTRA[li]);
+          int32_t dent = lut_decode(dd, in.peek64());
+          int dl = dent & 0xFF;
+          if (dl == 0) return E_BADCODE;
+          in.pos += dl;
+          int ds = dent >> 8;
+          if (ds > 29) return E_SYM;
+          int64_t dist = DIST_BASE[ds] + in.read(DIST_EXTRA[ds]);
+          if (!in.ok()) return E_TRUNC;
+          if (dist > opos) return E_DIST;
+          opos += length;
+        }
+      }
+    }
+    if (bfinal) break;
+  }
+  *n_blocks = nb;
+  *n_subs = ns;
+  if (end_bit_pos) *end_bit_pos = in.pos;
+  return opos;
+}
+
+int dct_abi_version() { return 2; }
 
 }  // extern "C"

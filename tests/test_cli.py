@@ -112,3 +112,31 @@ def test_inspect_bits(tmp_path, capsys):
     cap = capsys.readouterr().out.strip()
     # 0x01 -> LSB-first "10000000"; 0x80 -> "00000001"; 0xff -> "11111111"
     assert cap == "10000000 00000001 11111111"
+
+
+def test_cli_verify_ok(tmp_path):
+    """verify subcommand: a CLI-compressed file passes all checks."""
+    from deflate_compression_tpu.cli import main
+    src = tmp_path / "in.txt"
+    src.write_bytes(open("/root/reference/docs/rfc1951.txt", "rb").read()
+                    [:50000])
+    comp = tmp_path / "out.z"
+    assert main(["compress", str(src), "-o", str(comp),
+                 "--container", "zlib", "--shard-size", "65536"]) == 0
+    assert main(["verify", str(comp), "--original", str(src), "-v"]) == 0
+
+
+def test_cli_verify_flags_corruption(tmp_path):
+    """verify subcommand: a deliberately corrupted file is flagged."""
+    from deflate_compression_tpu.cli import main
+    src = tmp_path / "in.txt"
+    src.write_bytes(open("/root/reference/docs/rfc1950.txt", "rb").read()
+                    [:30000])
+    comp = tmp_path / "out.z"
+    assert main(["compress", str(src), "-o", str(comp),
+                 "--container", "zlib", "--shard-size", "65536"]) == 0
+    blob = bytearray(comp.read_bytes())
+    blob[len(blob) // 2] ^= 0x40        # flip a payload bit
+    bad = tmp_path / "bad.z"
+    bad.write_bytes(bytes(blob))
+    assert main(["verify", str(bad)]) == 1

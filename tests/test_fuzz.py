@@ -168,3 +168,33 @@ def test_tpu_decoder_garbage_words_terminate():
                                jnp.asarray(os_), jnp.asarray(bt),
                                jnp.int32(NB), jnp.int32(S), S)
     assert not bool(res["ok"])
+
+
+def test_tpu_verified_path_no_mutation_survives():
+    """End-to-end guarantee on the user-facing indexed path (cli --index /
+    decompress_indexed): with adler verification on, NO word mutation may
+    come back as valid-and-wrong — it must either raise or return the exact
+    original (VERDICT r3 item 2; reference verify
+    src/deflate_decompress.c:402-404)."""
+    from deflate_compression_tpu.core.checksum import adler32_np
+    from deflate_compression_tpu.decode.index import (build_index,
+                                                      decompress_indexed)
+    from deflate_compression_tpu.format.deflate import deflate_compress_bytes
+
+    raw = RAW[:50000]
+    comp = bytearray(deflate_compress_bytes(raw, shard_size=1 << 16))
+    idx = build_index(bytes(comp))
+    good = adler32_np(np.frombuffer(raw, np.uint8))
+    rng = np.random.default_rng(21)
+    survivors = 0
+    for _ in range(12):
+        m = bytearray(comp)
+        for _ in range(int(rng.integers(1, 4))):
+            m[int(rng.integers(0, len(m)))] ^= 1 << int(rng.integers(0, 8))
+        try:
+            out = decompress_indexed(bytes(m), idx, expected_adler=good)
+            if out != raw:
+                survivors += 1
+        except Exception:
+            pass    # any structured failure is acceptable; silence is not
+    assert survivors == 0

@@ -72,3 +72,43 @@ def test_indexed_decode_unaligned_groups_cross_window():
     idx = build_index(comp)
     got = decompress_indexed(comp, idx, shard_out=40000)  # tiny, unaligned
     assert got == raw
+
+
+def test_native_index_matches_python_oracle():
+    """The C++ one-pass index builder (dct_build_index) must produce the
+    exact index the Python oracle does, on both foreign zlib streams and
+    our own encoder's output."""
+    from deflate_compression_tpu import native_bridge
+    if not native_bridge.available():
+        import pytest
+        pytest.skip("native runtime unavailable")
+    raw = (open("/root/reference/docs/rfc1951.txt", "rb").read()
+           + np.random.default_rng(9).integers(
+               0, 256, 40000, dtype=np.uint8).tobytes())
+    for comp in (zlib.compress(raw, 6)[2:-4],
+                 deflate_compress_bytes(raw, shard_size=1 << 17)):
+        a = build_index(comp, prefer_native=True)
+        b = build_index(comp, prefer_native=False)
+        assert np.array_equal(a.bit_base, b.bit_base)
+        assert np.array_equal(a.out_start, b.out_start)
+        assert np.array_equal(a.btype, b.btype)
+        assert a.out_len == b.out_len
+        assert np.array_equal(a.sub_bit, b.sub_bit)
+        assert np.array_equal(a.sub_out, b.sub_out)
+        assert np.array_equal(a.sub_blk, b.sub_blk)
+
+
+def test_indexed_decode_verifies_adler():
+    """decompress_indexed must verify the container checksum when given one
+    (VERDICT r3: the flagship parallel path must never return unverified
+    data; reference verify src/deflate_decompress.c:402-404)."""
+    import pytest
+    from deflate_compression_tpu.core.checksum import adler32_np
+    from deflate_compression_tpu.utils.errors import DeflateError
+    raw = open("/root/reference/docs/rfc1950.txt", "rb").read()
+    comp = deflate_compress_bytes(raw, shard_size=1 << 17)
+    idx = build_index(comp)
+    good = adler32_np(np.frombuffer(raw, np.uint8))
+    assert decompress_indexed(comp, idx, expected_adler=good) == raw
+    with pytest.raises(DeflateError):
+        decompress_indexed(comp, idx, expected_adler=good ^ 0x10000)

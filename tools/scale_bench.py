@@ -162,6 +162,9 @@ def run_cpu():
     rec = {"mode": "cpu_mesh", "host_cores": ncore,
            "t1_1shard_s": round(t1, 3), "t8_8shards_s": round(t8, 3),
            "mesh_overhead_efficiency": round(min(eff, 1.0), 3),
+           # raw ratio recorded uncapped so a suspicious superlinear
+           # measurement (e.g. caching artifact) stays visible (advisor r3)
+           "mesh_overhead_efficiency_raw": round(eff, 3),
            "note": "8 virtual devices share the host cores; efficiency = "
                    "serial-equivalent (8*t1) / mesh t8"}
     print(json.dumps(rec))
