@@ -60,6 +60,10 @@ def get_lib():
                 ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+            lib.dct_png_defilter.restype = ctypes.c_int64
+            lib.dct_png_defilter.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64]
             i64p = ctypes.POINTER(ctypes.c_int64)
             lib.dct_build_index.restype = ctypes.c_int64
             lib.dct_build_index.argtypes = [
@@ -186,6 +190,22 @@ def zlib_decompress_native(data: bytes, verify: bool = True) -> bytes:
             continue
         raise DeflateError(_ERRNAMES.get(int(r), "E_HDR"),
                            f"native zlib error {int(r)}")
+
+
+def png_defilter_native(rows, filters, bpp: int):
+    """In-place PNG scanline defilter over (H, rb) u8 rows. Returns the
+    reconstructed array (same buffer)."""
+    import numpy as np
+    from .utils.errors import PngError
+    rows = np.ascontiguousarray(rows, dtype=np.uint8)
+    H, rb = rows.shape
+    r = get_lib().dct_png_defilter(
+        rows.ctypes.data_as(ctypes.c_void_p),
+        np.ascontiguousarray(filters, dtype=np.uint8).tobytes(),
+        H, rb, bpp)
+    if r != 0:
+        raise PngError("E_FILTER", "unknown filter type")
+    return rows
 
 
 def crc32_native(data: bytes, crc: int = 0) -> int:

@@ -130,10 +130,21 @@ def _paeth(a, b, c):
     return out.astype(np.uint8)
 
 
-def defilter(rows: np.ndarray, filters: np.ndarray, bpp: int) -> np.ndarray:
+def defilter(rows: np.ndarray, filters: np.ndarray, bpp: int,
+             prefer_native: bool = True) -> np.ndarray:
     """Undo scanline filters. rows: (H, rowbytes) u8 filtered data; filters:
     (H,) filter type per row. Returns reconstructed rows (reference defilter
-    src/png/png_decoder.c:819-857)."""
+    src/png/png_decoder.c:819-857).
+
+    The Average/Paeth left-neighbor recurrence is byte-serial along x
+    (the reference is byte-serial too); the native C++ runtime
+    (dct_png_defilter) is the fast path for large photos — the Python loop
+    below is the oracle, cross-checked in tests."""
+    if prefer_native and rows.size:
+        from .. import native_bridge
+        if native_bridge.available():
+            return native_bridge.png_defilter_native(rows.copy(), filters,
+                                                     bpp)
     H, rb = rows.shape
     out = np.zeros_like(rows)
     prev = np.zeros(rb, np.uint8)

@@ -515,6 +515,59 @@ int64_t dct_build_index(const uint8_t* inp, int64_t in_len, int64_t bit_pos,
   return opos;
 }
 
+// PNG scanline defilter, in place over (H, rb) filtered rows (reference
+// defilter src/png/png_decoder.c:819-857 and the Paeth predictor :803-817 —
+// implementing the SPEC behavior, not the reference's pa/pa/pa bug). The
+// left-neighbor recurrence makes Average/Paeth byte-serial along x; this is
+// the native fast path for it (the Python implementation in png/decoder.py
+// is the oracle). Returns 0 or E_HDR on an unknown filter type.
+int64_t dct_png_defilter(uint8_t* rows, const uint8_t* filters, int64_t H,
+                         int64_t rb, int64_t bpp) {
+  const uint8_t* prev = nullptr;
+  for (int64_t y = 0; y < H; y++) {
+    uint8_t* r = rows + y * rb;
+    switch (filters[y]) {
+      case 0:
+        break;
+      case 1:  // Sub
+        for (int64_t x = bpp; x < rb; x++) r[x] = (uint8_t)(r[x] + r[x - bpp]);
+        break;
+      case 2:  // Up
+        if (prev)
+          for (int64_t x = 0; x < rb; x++) r[x] = (uint8_t)(r[x] + prev[x]);
+        break;
+      case 3:  // Average
+        if (prev) {
+          for (int64_t x = 0; x < bpp; x++)
+            r[x] = (uint8_t)(r[x] + (prev[x] >> 1));
+          for (int64_t x = bpp; x < rb; x++)
+            r[x] = (uint8_t)(r[x] + ((r[x - bpp] + prev[x]) >> 1));
+        } else {
+          for (int64_t x = bpp; x < rb; x++)
+            r[x] = (uint8_t)(r[x] + (r[x - bpp] >> 1));
+        }
+        break;
+      case 4:  // Paeth
+        for (int64_t x = 0; x < rb; x++) {
+          int a = x >= bpp ? r[x - bpp] : 0;
+          int b = prev ? prev[x] : 0;
+          int c = (prev && x >= bpp) ? prev[x - bpp] : 0;
+          int p = a + b - c;
+          int pa = p > a ? p - a : a - p;
+          int pb = p > b ? p - b : b - p;
+          int pc = p > c ? p - c : c - p;
+          int pr = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+          r[x] = (uint8_t)(r[x] + pr);
+        }
+        break;
+      default:
+        return E_HDR;
+    }
+    prev = r;
+  }
+  return E_OK;
+}
+
 int dct_abi_version() { return 2; }
 
 }  // extern "C"

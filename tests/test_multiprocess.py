@@ -105,3 +105,10 @@ def test_four_process_distributed(tmp_path):
     processes x 2 virtual devices, round-robin shard ownership, process 0
     assembles the container and the zlib oracle verifies it."""
     _run_distributed(4)
+
+
+def test_eight_process_distributed(tmp_path):
+    """8 coordinator-connected processes (VERDICT r3 item 7): the largest
+    CPU-simulated multi-host configuration; same round-robin ownership +
+    oracle-verified assembly."""
+    _run_distributed(8)

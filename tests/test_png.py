@@ -229,3 +229,22 @@ def test_golden_pngtest_bit_trace():
     i = raw.find(b"IDAT")
     cmf = raw[i + 4]
     assert cmf & 0x0F == 8
+
+
+def test_native_defilter_matches_python_oracle():
+    """dct_png_defilter must reproduce the Python defilter exactly for
+    every filter type, bpp, and row mix (the Python loop is the oracle)."""
+    from deflate_compression_tpu import native_bridge
+    from deflate_compression_tpu.png.decoder import defilter
+    if not native_bridge.available():
+        import pytest
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(7)
+    for bpp in (1, 2, 3, 4, 6, 8):
+        H, rb = 40, bpp * 23
+        rows = rng.integers(0, 256, (H, rb), dtype=np.uint8)
+        filters = rng.integers(0, 5, H, dtype=np.uint8)
+        filters[0] = rng.integers(0, 5)     # incl. Paeth/Avg on first row
+        a = defilter(rows.copy(), filters, bpp, prefer_native=True)
+        b = defilter(rows.copy(), filters, bpp, prefer_native=False)
+        assert np.array_equal(a, b), f"mismatch at bpp={bpp}"
