@@ -549,22 +549,36 @@ def decode_blocks(comp_words: jnp.ndarray,
     lit_val = jnp.where(t_valid & ~t_match, t_a.astype(jnp.uint32), lit_val)
 
     sto_pay_byte = ((blk_bit + 3 + 7) >> 3) + 4           # after LEN/NLEN
-    # covering block per position: scatter each live block's id at its start
-    # then forward-fill with cummax — an NB-element scatter + one elementwise
-    # scan, instead of searchsorted (which lowers to log(NB) S-sized gather
-    # rounds, ~8 ms/shard at the ~100M elem/s descriptor floor)
-    # out-of-range starts are DROPPED, not clamped (a degenerate empty
-    # trailing block at blk_out == S must not alias onto position S-1)
-    bstart_mark = jnp.zeros((S,), jnp.int32).at[
-        jnp.where(blive & (blk_out >= 0) & (blk_out < S), blk_out, S)].max(
-        blanes + 1, mode="drop")
-    blk_of_pos = jnp.clip(jax.lax.cummax(bstart_mark) - 1, 0, NB - 1)
-    # ONE (NB, 3)-row gather for the three per-block fields
-    blocktab = jnp.stack([is_sto.astype(jnp.int32), sto_pay_byte, blk_out],
-                         axis=1)
-    btrow = blocktab[blk_of_pos]                          # (S, 3)
-    pos_sto = (btrow[:, 0] == 1) & (j_idx >= plen)
-    sto_src = jnp.clip(btrow[:, 1] + (j_idx - btrow[:, 2]), 0, 4 * CW - 1)
+    # Covering-block fields per position WITHOUT an S-sized gather: scatter a
+    # PACKED per-block word at each block's start and forward-fill with one
+    # cummax — valid because the block id rides the high bits (monotone in
+    # position, so cummax is exactly segment-fill). Packs (b+1)<<23 |
+    # is_sto<<22 | biased(sto_pay_byte - blk_out); falls back to the
+    # (NB, 3)-row gather when the static ranges don't fit 31 bits.
+    # Out-of-range starts are DROPPED, not clamped (a degenerate empty
+    # trailing block at blk_out == S must not alias onto position S-1).
+    start_slot = jnp.where(blive & (blk_out >= 0) & (blk_out < S), blk_out, S)
+    if NB <= 255 and S < (1 << 21) and 4 * CW < (1 << 21):
+        _BIAS = 1 << 21
+        markv = (((blanes + 1) << 23)
+                 | (is_sto.astype(jnp.int32) << 22)
+                 | jnp.clip(sto_pay_byte - blk_out + _BIAS, 0,
+                            (1 << 22) - 1))
+        pc = jax.lax.cummax(jnp.zeros((S,), jnp.int32).at[start_slot].max(
+            jnp.where(blive, markv, 0), mode="drop"))
+        pos_sto = (((pc >> 22) & 1) == 1) & (j_idx >= plen) & ((pc >> 23) > 0)
+        sto_src = jnp.clip((pc & ((1 << 22) - 1)) - _BIAS + j_idx,
+                           0, 4 * CW - 1)
+    else:
+        bstart_mark = jnp.zeros((S,), jnp.int32).at[start_slot].max(
+            blanes + 1, mode="drop")
+        blk_of_pos = jnp.clip(jax.lax.cummax(bstart_mark) - 1, 0, NB - 1)
+        blocktab = jnp.stack([is_sto.astype(jnp.int32), sto_pay_byte,
+                              blk_out], axis=1)
+        btrow = blocktab[blk_of_pos]                      # (S, 3)-row gather
+        pos_sto = (btrow[:, 0] == 1) & (j_idx >= plen)
+        sto_src = jnp.clip(btrow[:, 1] + (j_idx - btrow[:, 2]),
+                           0, 4 * CW - 1)
     # stored byte via a WORD gather + shift (not a u8 gather)
     sto_w = comp_words[jnp.clip(sto_src >> 2, 0, CW - 1)]
     sto_b = (sto_w >> ((sto_src.astype(jnp.uint32) & np.uint32(3))

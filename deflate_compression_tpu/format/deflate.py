@@ -618,13 +618,17 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     # finishes, so uniform tokens-per-lane is what actually cuts steps
     # (decode/tpu_inflate.py phase B).
     NSUB = S // 256                        # lane capacity (static)
-    cs = jnp.cumsum(chosen.astype(jnp.int32)) - chosen.astype(jnp.int32)
-    n_tok_all = cs[-1] + chosen[-1].astype(jnp.int32)
+    # stride is sized on HUFFMAN tokens only: stored-block tokens never ride
+    # decode lanes, and counting them inflated the stride (= the decoder's
+    # while_loop step count, worst lane) ~2.5x on mixed corpora
+    tok_h = chosen & huff_pos
+    cs = jnp.cumsum(tok_h.astype(jnp.int32)) - tok_h.astype(jnp.int32)
+    n_tok_h = cs[-1] + tok_h[-1].astype(jnp.int32)
     csb = jnp.repeat(cs[start_pos_b][blk_id_micro], BLOCK,
-                     total_repeat_length=S)      # tokens before own block
-    first_in_blk = chosen & (cs == csb)
-    stride = jnp.maximum((n_tok_all + NSUB - NB - 1) // (NSUB - NB), 1)
-    sel = chosen & huff_pos & ((cs % stride == 0) | first_in_blk)
+                     total_repeat_length=S)      # huff tokens before own block
+    first_in_blk = tok_h & (cs == csb)
+    stride = jnp.maximum((n_tok_h + NSUB - NB - 1) // (NSUB - NB), 1)
+    sel = tok_h & ((cs % stride == 0) | first_in_blk)
     sel_rank = jnp.cumsum(sel.astype(jnp.int32)) - sel.astype(jnp.int32)
     # overflow (unreachable with the stride arithmetic above) DROPS the
     # entry and raises a loud stat instead of silently clamp-colliding on
