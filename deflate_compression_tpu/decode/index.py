@@ -186,10 +186,16 @@ def build_index(stream: bytes, bit_pos: int = 0,
                        np.array(sub_blk, np.int32))
 
 
-def index_from_shards(shard_results, shard_comp_bits, shard_out_lens) -> DecodeIndex:
+def index_from_shards(shard_results, shard_comp_bits, shard_out_lens,
+                      sub_spacing: int = SUB_SIZE) -> DecodeIndex:
     """Assemble a stream-level index from per-shard encoder stats
     (format/deflate.py returns block_bit_base/block_out_start/btype/n_blocks
-    and sub_bit/sub_out/sub_blk relative to each shard)."""
+    and sub_bit/sub_out/sub_blk relative to each shard).
+
+    The encoder emits dense sub-entries (one per ~64 output bytes — sized
+    for on-device decode lanes); the sidecar THINS them to ~one per
+    `sub_spacing` output bytes (block-first entries always kept — a decoder
+    lane set is correct for any entry subset that includes block starts)."""
     bit_base, out_start, btypes = [], [], []
     sub_bit, sub_out, sub_blk = [], [], []
     bit_off = 0
@@ -209,9 +215,16 @@ def index_from_shards(shard_results, shard_comp_bits, shard_out_lens) -> DecodeI
             so = np.asarray(r["sub_out"])
             sk = np.asarray(r["sub_blk"])
             live = (sk >= 0) & (so < out_len)
-            sub_bit += list(sb[live] + bit_off)
-            sub_out += list(so[live] + out_off)
-            sub_blk += list(sk[live] + blk_off)
+            sb, so, sk = sb[live], so[live], sk[live]
+            if sub_spacing > 1 and len(so):
+                first = np.concatenate([[True], sk[1:] != sk[:-1]])
+                keep = first | (so // sub_spacing
+                                != np.concatenate([[-1], so[:-1]])
+                                // sub_spacing)
+                sb, so, sk = sb[keep], so[keep], sk[keep]
+            sub_bit += list(sb + bit_off)
+            sub_out += list(so + out_off)
+            sub_blk += list(sk + blk_off)
         bit_off += int(np.ceil(nbits / 8)) * 8   # shards are byte-aligned
         out_off += out_len
         blk_off += n

@@ -356,10 +356,15 @@ def decode_blocks(comp_words: jnp.ndarray,
         bad = bad | (act & (bp > bit_budget))
         return bp, i, prev, lens, bad, steps + 1
 
+    def rle_body2(st):
+        # 2x unroll: the RLE loop is bound by per-iteration kernel launch
+        # overhead, not by its (NB, 316) element work
+        return rle_body(rle_body(st))
+
     lens0 = jnp.zeros((NB, _RLE_W), jnp.int32)
     st0 = (bp, jnp.zeros((NB,), jnp.int32), jnp.full((NB,), -1, jnp.int32),
            lens0, bbad, jnp.int32(0))
-    bp, _, _, lens, bbad, _ = jax.lax.while_loop(rle_cond, rle_body, st0)
+    bp, _, _, lens, bbad, _ = jax.lax.while_loop(rle_cond, rle_body2, st0)
 
     # split into litlen / dist lengths (decode-side widths 288 / 32)
     tl = jnp.arange(_N_LL, dtype=jnp.int32)
@@ -451,10 +456,10 @@ def decode_blocks(comp_words: jnp.ndarray,
 
     tok0 = jnp.zeros((S + 1,), jnp.int32)
 
-    def one_sym(bp, ocur, done, lbad, tok):
+    def one_sym(bp, ocur, done, lbad):
         """Decode one symbol (or one two-literal pair) in every live lane:
-        4 descriptor ops total (1-row-gather peek48, 1 merged-LUT gather per
-        alphabet, 1 token scatter)."""
+        3 descriptor ops (1-row-gather peek48, 1 merged-LUT gather per
+        alphabet) + 1/UNROLL of the batched token scatter."""
         act = ~done & ~lbad
         lo, hi = _peek48(hw, bp)
         e = ll_lut_f[lblk * lsz + (lo & np.uint32(lsz - 1)
@@ -496,9 +501,11 @@ def decode_blocks(comp_words: jnp.ndarray,
                 | (jnp.where(is_len, 1, 0) << 26)
                 | (jnp.where(use_pair, 1, 0) << 27))
         # non-emitting lanes park at sink row S (garbage there is sliced
-        # off) — no read-back gather of tok in the loop body
+        # off); the scatter itself is BATCHED across the unrolled symbols
+        # in dec_body (one descriptor op per UNROLL symbols, not per
+        # symbol — slots within an unroll window are distinct per lane
+        # since ocur strictly advances on emit)
         slot = jnp.where(emit, jnp.clip(ocur, 0, S), S)
-        tok = tok.at[slot].set(pack, mode="drop")
         ocur2 = jnp.where(emit, ocur + adv, ocur)
         lbad = lbad | (act & (ocur2 > lane_end))         # token overran lane
         lbad = lbad | (act & is_eob)                     # EOB before lane end
@@ -506,9 +513,9 @@ def decode_blocks(comp_words: jnp.ndarray,
         bp2 = bp + cl + cl2 + jnp.where(is_len, leb + dcl + deb, 0)
         lbad = lbad | (act & (bp2 > bit_budget))
         bp = jnp.where(act, bp2, bp)
-        return bp, ocur2, done, lbad, tok
+        return bp, ocur2, done, lbad, slot, pack
 
-    UNROLL = 4
+    UNROLL = 8
     max_steps = S + 64
 
     def dec_cond(st):
@@ -517,8 +524,14 @@ def decode_blocks(comp_words: jnp.ndarray,
 
     def dec_body(st):
         bp, ocur, done, lbad, tok, steps = st
+        slots, packs = [], []
         for _ in range(UNROLL):                  # amortize loop overhead
-            bp, ocur, done, lbad, tok = one_sym(bp, ocur, done, lbad, tok)
+            bp, ocur, done, lbad, slot, pack = one_sym(bp, ocur, done, lbad)
+            slots.append(slot)
+            packs.append(pack)
+        # ONE batched scatter for all UNROLL symbols (distinct slots per
+        # lane; sink-row collisions are sliced off)
+        tok = tok.at[jnp.stack(slots)].set(jnp.stack(packs), mode="drop")
         return bp, ocur, done, lbad, tok, steps + UNROLL
 
     st = (bp0, ocur0, done0, lbad0, tok0, jnp.int32(0))
@@ -558,7 +571,8 @@ def decode_blocks(comp_words: jnp.ndarray,
     # Out-of-range starts are DROPPED, not clamped (a degenerate empty
     # trailing block at blk_out == S must not alias onto position S-1).
     start_slot = jnp.where(blive & (blk_out >= 0) & (blk_out < S), blk_out, S)
-    if NB <= 255 and S < (1 << 21) and 4 * CW < (1 << 21):
+    use_packed = NB <= 16 and S < (1 << 21) and 4 * CW < (1 << 21)
+    if use_packed:
         _BIAS = 1 << 21
         markv = (((blanes + 1) << 23)
                  | (is_sto.astype(jnp.int32) << 22)
@@ -567,8 +581,28 @@ def decode_blocks(comp_words: jnp.ndarray,
         pc = jax.lax.cummax(jnp.zeros((S,), jnp.int32).at[start_slot].max(
             jnp.where(blive, markv, 0), mode="drop"))
         pos_sto = (((pc >> 22) & 1) == 1) & (j_idx >= plen) & ((pc >> 23) > 0)
-        sto_src = jnp.clip((pc & ((1 << 22) - 1)) - _BIAS + j_idx,
-                           0, 4 * CW - 1)
+        # stored payloads are CONTIGUOUS byte ranges: copy each live stored
+        # block with one fixed-width dynamic slice pair (2 contiguous ops
+        # per block) instead of an S-sized random gather — stored DEFLATE
+        # blocks are <= 65535 output bytes (16-bit LEN), so a 64 KB window
+        # covers any block
+        _WSTO = 1 << 16
+        cbytes = ((comp_words[:, None]
+                   >> (jnp.arange(4, dtype=jnp.uint32)[None, :]
+                       * np.uint32(8))) & np.uint32(0xFF)).reshape(-1)
+        cpad = jnp.concatenate([cbytes, jnp.zeros((_WSTO,), jnp.uint32)])
+        lv_pad = jnp.concatenate([lit_val, jnp.zeros((_WSTO,), jnp.uint32)])
+        t65 = jnp.arange(_WSTO, dtype=jnp.int32)
+        for b in range(NB):
+            live_sto = is_sto[b]
+            src0 = jnp.clip(sto_pay_byte[b], 0, 4 * CW)
+            dst0 = jnp.clip(blk_out[b], 0, S)
+            pay = jax.lax.dynamic_slice(cpad, (src0,), (_WSTO,))
+            cur = jax.lax.dynamic_slice(lv_pad, (dst0,), (_WSTO,))
+            ln = jnp.clip(blk_end[b] - blk_out[b], 0, _WSTO)
+            new = jnp.where(live_sto & (t65 < ln), pay, cur)
+            lv_pad = jax.lax.dynamic_update_slice(lv_pad, new, (dst0,))
+        lit_val = lv_pad[:S]
     else:
         bstart_mark = jnp.zeros((S,), jnp.int32).at[start_slot].max(
             blanes + 1, mode="drop")
@@ -579,11 +613,11 @@ def decode_blocks(comp_words: jnp.ndarray,
         pos_sto = (btrow[:, 0] == 1) & (j_idx >= plen)
         sto_src = jnp.clip(btrow[:, 1] + (j_idx - btrow[:, 2]),
                            0, 4 * CW - 1)
-    # stored byte via a WORD gather + shift (not a u8 gather)
-    sto_w = comp_words[jnp.clip(sto_src >> 2, 0, CW - 1)]
-    sto_b = (sto_w >> ((sto_src.astype(jnp.uint32) & np.uint32(3))
-                       << np.uint32(3))) & np.uint32(0xFF)
-    lit_val = jnp.where(pos_sto, sto_b, lit_val)
+        # stored byte via a WORD gather + shift (not a u8 gather)
+        sto_w = comp_words[jnp.clip(sto_src >> 2, 0, CW - 1)]
+        sto_b = (sto_w >> ((sto_src.astype(jnp.uint32) & np.uint32(3))
+                           << np.uint32(3))) & np.uint32(0xFF)
+        lit_val = jnp.where(pos_sto, sto_b, lit_val)
 
     # covering token per position, then SAME-DISTANCE RUN collapse: the
     # byte-level source of any match-covered position is exactly j - d
@@ -614,23 +648,36 @@ def decode_blocks(comp_words: jnp.ndarray,
     base = r - rd
     g = base + jnp.where(mpos, (j_idx - base) % jnp.maximum(rd, 1), 0)
     bad_dist = jnp.any(mpos & (g < 0) & (j_idx < valid_out))
-    ptr = jnp.where(mpos & (g >= 0), g, j_idx)
+
+    # TAGGED-VALUE pointer doubling: v holds either a resolved byte or
+    # TAG | source-index; each round jumps tagged entries through one
+    # doubling gather v[v & addr]. Chains strictly decrease (g < j), so
+    # either all tags clear or the round bound flags unconverged. Compared
+    # with index-space doubling + a final value gather this saves one full
+    # S-sized gather (the last round lands on values directly).
+    _tag_bit = max(24, int(S - 1).bit_length())          # above any index
+    _TAG = np.uint32(1) << np.uint32(_tag_bit)
+    _ADDR = np.uint32((1 << _tag_bit) - 1)
+    v0 = jnp.where(mpos & (g >= 0),
+                   _TAG | jnp.clip(g, 0, S - 1).astype(jnp.uint32), lit_val)
 
     max_rounds = int(np.ceil(np.log2(max(S, 2)))) + 2
 
     def c_cond(st):
-        p, ch, r = st
-        return ch & (r < max_rounds)
+        v, ch, rr = st
+        return ch & (rr < max_rounds)
 
     def c_body(st):
-        p, ch, r = st
-        p2 = p[p]
-        return p2, jnp.any(p2 != p), r + 1
+        v, ch, rr = st
+        tag = (v & _TAG) != 0
+        hop = v[jnp.clip((v & _ADDR).astype(jnp.int32), 0, S - 1)]
+        vn = jnp.where(tag, hop, v)
+        return vn, jnp.any((vn & _TAG) != 0), rr + 1
 
-    ptr, unconverged, _ = jax.lax.while_loop(
-        c_cond, c_body, (ptr, jnp.any(ptr != j_idx), jnp.int32(0)))
+    v, unconverged, _ = jax.lax.while_loop(
+        c_cond, c_body, (v0, jnp.any((v0 & _TAG) != 0), jnp.int32(0)))
 
-    out = lit_val[ptr].astype(jnp.uint8)        # u32 gather, then narrow
+    out = (v & np.uint32(0xFF)).astype(jnp.uint8)
     out = jnp.where(j_idx < valid_out, out, jnp.uint8(0))
 
     ok = (~jnp.any(lbad & llive) & ~jnp.any(bbad & blive)

@@ -617,7 +617,9 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     # dense ones — and the decoder's while_loop runs until the SLOWEST lane
     # finishes, so uniform tokens-per-lane is what actually cuts steps
     # (decode/tpu_inflate.py phase B).
-    NSUB = S // 256                        # lane capacity (static)
+    NSUB = S // 64                         # lane capacity (static): more
+    # lanes = fewer decoder while_loop steps (the loop's per-step kernel
+    # overhead, not its gather traffic, dominated at S//256 — profiled r4)
     # stride is sized on HUFFMAN tokens only: stored-block tokens never ride
     # decode lanes, and counting them inflated the stride (= the decoder's
     # while_loop step count, worst lane) ~2.5x on mixed corpora

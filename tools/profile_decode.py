@@ -71,9 +71,25 @@ def main():
         fins = jnp.arange(batch.shape[0]) == batch.shape[0] - 1
         return jax.vmap(one)(batch, fins)
 
-    with _alarm(400):
-        enc_out = enc_keep(dbatch)
-        jax.block_until_ready(enc_out)
+    enc_out = None
+    for attempt in range(3):
+        try:
+            with _alarm(400):
+                enc_out = enc_keep(dbatch)
+                jax.block_until_ready(enc_out)
+            break
+        except TimeoutError:
+            print(f"# encode attempt {attempt} wedged; re-uploading",
+                  file=sys.stderr)
+            try:
+                with _alarm(120):
+                    dbatch = jax.device_put(jnp.asarray(shards), dev)
+                    jax.block_until_ready(dbatch)
+            except TimeoutError:
+                pass
+    if enc_out is None:
+        print("# encode unrecoverable; aborting", file=sys.stderr)
+        return
     print("# encoded", file=sys.stderr)
 
     def dec_full(args, salt):
@@ -111,7 +127,7 @@ def main():
             r = decode_blocks(w, bb1, bo1, jnp.full_like(bt1, -1),
                               jnp.int32(0), sb1, so1,
                               jnp.full_like(sk1, -1), jnp.int32(0),
-                              jnp.int32(SHARD), SHARD)
+                              jnp.int32(SHARD), SHARD, lut_bits=11)
             return r["ok"], jnp.sum(r["out"], dtype=jnp.uint32)
         return jax.vmap(one)(words, bb, bo, bt, nb, sb, so, sk)
 
@@ -126,13 +142,23 @@ def main():
                 jax.ShapeDtypeStruct((), jnp.uint32)).compile()
             ct = time.perf_counter() - t0
             best = None
-            for rep in range(2):
-                with _alarm(240):
-                    t0 = time.perf_counter()
-                    out = ex(enc_out, jnp.uint32(rep * 13 + 1))
-                    jax.tree_util.tree_map(lambda x: np.asarray(x).sum(), out)
-                    dt = time.perf_counter() - t0
+            for rep in range(3):
+                try:
+                    with _alarm(240):
+                        t0 = time.perf_counter()
+                        out = ex(enc_out, jnp.uint32(rep * 13 + 1))
+                        jax.tree_util.tree_map(
+                            lambda x: np.asarray(x).sum(), out)
+                        dt = time.perf_counter() - t0
+                except TimeoutError:
+                    print(f"#   rep {rep} wedged", file=sys.stderr)
+                    continue
                 best = dt if best is None else min(best, dt)
+                if rep >= 1 and best is not None:
+                    break
+            if best is None:
+                print(f"{name:12s} WEDGED", file=sys.stderr)
+                continue
             print(f"{name:12s} {best*1000:8.1f} ms ({best*1000/N_SHARDS:6.1f}"
                   f" ms/shard, {n/best/1e6:6.2f} MB/s) compile {ct:.0f}s",
                   file=sys.stderr)
