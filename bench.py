@@ -219,7 +219,8 @@ def main():
     # padding word beyond the real stream: new input fingerprint for the
     # tunnel's execution cache, identical decode work.
     try:
-        from deflate_compression_tpu.decode.tpu_inflate import decode_blocks
+        from deflate_compression_tpu.decode.tpu_inflate import (
+            decode_blocks_batch)
 
         @jax.jit
         def enc_keep(batch):
@@ -231,29 +232,28 @@ def main():
             fins = jnp.arange(batch.shape[0]) == batch.shape[0] - 1
             return jax.vmap(one)(batch, fins)
 
+        # ONE flat dispatch for all shards (vmapping decode_blocks lowers
+        # every symbol-loop gather to a slower batched form — ROADMAP r4)
         @jax.jit
         def dec_all(words, bb, bo, bt, nb, sb, so, sk, salt):
             words = words.at[:, -1].add(salt.astype(jnp.uint32))
-
-            def one(w, bb1, bo1, bt1, nb1, sb1, so1, sk1):
-                r = decode_blocks(w, bb1, bo1, bt1, nb1, sb1, so1, sk1,
-                                  jnp.int32(sb1.shape[0]), jnp.int32(SHARD),
-                                  SHARD, lut_bits=11)
-                return r["ok"], jnp.sum(r["out"], dtype=jnp.uint32)
-            return jax.vmap(one)(words, bb, bo, bt, nb, sb, so, sk)
+            valid = jnp.full((words.shape[0],), SHARD, jnp.int32)
+            r = decode_blocks_batch(words, bb, bo, bt, nb, sb, so, sk,
+                                    valid, SHARD, lut_bits=11)
+            return r["ok"], jnp.sum(
+                r["out"].astype(jnp.uint32), axis=1, dtype=jnp.uint32)
 
         @jax.jit
         def dec_adler(words, bb, bo, bt, nb, sb, so, sk):
             # untimed end-to-end verification: device adler32 per decoded
             # shard (the codec guarantee on the user-facing indexed path)
             from deflate_compression_tpu.core.checksum import adler32_jax
-
-            def one(w, bb1, bo1, bt1, nb1, sb1, so1, sk1):
-                r = decode_blocks(w, bb1, bo1, bt1, nb1, sb1, so1, sk1,
-                                  jnp.int32(sb1.shape[0]), jnp.int32(SHARD),
-                                  SHARD, lut_bits=11)
-                return r["ok"], adler32_jax(r["out"], jnp.int32(SHARD))
-            return jax.vmap(one)(words, bb, bo, bt, nb, sb, so, sk)
+            valid = jnp.full((words.shape[0],), SHARD, jnp.int32)
+            r = decode_blocks_batch(words, bb, bo, bt, nb, sb, so, sk,
+                                    valid, SHARD, lut_bits=11)
+            ad = jax.vmap(lambda o: adler32_jax(o, jnp.int32(SHARD)))(
+                r["out"])
+            return r["ok"], ad
 
         with _alarm_guard(280):
             enc_out = enc_keep(dbatch)

@@ -239,7 +239,8 @@ def decode_blocks(comp_words: jnp.ndarray,
                   prefix: jnp.ndarray | None = None,
                   prefix_len: jnp.ndarray | None = None,
                   lut_bits: int = MAX_BITS,
-                  max_dist: jnp.ndarray | int = C.WINDOW_SIZE):
+                  max_dist: jnp.ndarray | int = C.WINDOW_SIZE,
+                  blk_end: jnp.ndarray | None = None):
     """Decode a DEFLATE substream given its block index + sub-entries.
 
     Args:
@@ -277,16 +278,19 @@ def decode_blocks(comp_words: jnp.ndarray,
     comp_words = comp_words.astype(jnp.uint32)
 
     blanes = jnp.arange(NB, dtype=jnp.int32)
-    blive = blanes < n_blocks
+    # dead slots carry btype == -1 (batch mode interleaves them per shard)
+    blive = (blanes < n_blocks) & (blk_btype >= 0)
     is_dyn = blive & (blk_btype == C.BTYPE_DYNAMIC)
     is_fix = blive & (blk_btype == C.BTYPE_FIXED)
     is_sto = blive & (blk_btype == C.BTYPE_STORED)
     bbad = blive & (blk_btype == 3)                      # reserved BTYPE
     huff = is_dyn | is_fix
 
-    blk_end = jnp.where(blanes + 1 < n_blocks,
-                        blk_out[jnp.clip(blanes + 1, 0, NB - 1)], valid_out)
-    blk_end = jnp.where(blive, blk_end, blk_out)
+    if blk_end is None:
+        blk_end = jnp.where(blanes + 1 < n_blocks,
+                            blk_out[jnp.clip(blanes + 1, 0, NB - 1)],
+                            valid_out)
+        blk_end = jnp.where(blive, blk_end, blk_out)
 
     # ------------------------------------------------ phase A: block headers
     bp = blk_bit + 3                                     # skip BFINAL/BTYPE
@@ -571,16 +575,23 @@ def decode_blocks(comp_words: jnp.ndarray,
     # Out-of-range starts are DROPPED, not clamped (a degenerate empty
     # trailing block at blk_out == S must not alias onto position S-1).
     start_slot = jnp.where(blive & (blk_out >= 0) & (blk_out < S), blk_out, S)
-    use_packed = NB <= 16 and S < (1 << 21) and 4 * CW < (1 << 21)
+    # exact per-position coverage: blk_end is nondecreasing over live blocks,
+    # so a start-scatter + cummax yields "this position is inside some live
+    # block" — the precise domain for match/strictness checks (in batch
+    # mode the flat layout has dead gaps between shards' valid ends)
+    cend = jax.lax.cummax(jnp.zeros((S,), jnp.int32).at[start_slot].max(
+        jnp.where(blive, blk_end, 0), mode="drop"))
+    pos_live = j_idx < cend
+    use_packed = NB <= 64 and S < (1 << 22) and 4 * CW < (1 << 22)
     if use_packed:
-        _BIAS = 1 << 21
-        markv = (((blanes + 1) << 23)
-                 | (is_sto.astype(jnp.int32) << 22)
+        _BIAS = 1 << 22
+        markv = (((blanes + 1) << 24)
+                 | (is_sto.astype(jnp.int32) << 23)
                  | jnp.clip(sto_pay_byte - blk_out + _BIAS, 0,
-                            (1 << 22) - 1))
+                            (1 << 23) - 1))
         pc = jax.lax.cummax(jnp.zeros((S,), jnp.int32).at[start_slot].max(
             jnp.where(blive, markv, 0), mode="drop"))
-        pos_sto = (((pc >> 22) & 1) == 1) & (j_idx >= plen) & ((pc >> 23) > 0)
+        pos_sto = (((pc >> 23) & 1) == 1) & (j_idx >= plen) & ((pc >> 24) > 0)
         # stored payloads are CONTIGUOUS byte ranges: copy each live stored
         # block with one fixed-width dynamic slice pair (2 contiguous ops
         # per block) instead of an S-sized random gather — stored DEFLATE
@@ -641,13 +652,13 @@ def decode_blocks(comp_words: jnp.ndarray,
              & (j_idx == s_j + 1) & ~pos_sto & (j_idx >= plen))
     lit_val = jnp.where(pair2, ((tok_sc >> 9) & 0xFF).astype(jnp.uint32),
                         lit_val)
-    mpos = (d_j > 0) & ~pos_sto & (j_idx >= plen)
+    mpos = (d_j > 0) & ~pos_sto & (j_idx >= plen) & pos_live
     rd = jnp.where(mpos, d_j, 0)
     prev_rd = jnp.concatenate([jnp.full((1,), -1, jnp.int32), rd[:-1]])
     r = jax.lax.cummax(jnp.where(rd != prev_rd, j_idx, -1))  # run start >= 0
     base = r - rd
     g = base + jnp.where(mpos, (j_idx - base) % jnp.maximum(rd, 1), 0)
-    bad_dist = jnp.any(mpos & (g < 0) & (j_idx < valid_out))
+    bad_dist = jnp.any(mpos & (g < 0))
 
     # TAGGED-VALUE pointer doubling: v holds either a resolved byte or
     # TAG | source-index; each round jumps tagged entries through one
@@ -683,6 +694,66 @@ def decode_blocks(comp_words: jnp.ndarray,
     ok = (~jnp.any(lbad & llive) & ~jnp.any(bbad & blive)
           & ~bad_dist & ~unconverged)
     return {"out": out, "ok": ok, "bad_lanes": lbad}
+
+
+@functools.partial(jax.jit, static_argnames=("out_size", "lut_bits"))
+def decode_blocks_batch(comp_words, blk_bit, blk_out, blk_btype, n_blocks,
+                        sub_bit, sub_out, sub_blk, valid_out,
+                        out_size: int, lut_bits: int = MAX_BITS,
+                        max_dist: jnp.ndarray | int = C.WINDOW_SIZE):
+    """Decode B independent shard substreams in ONE flat dispatch.
+
+    All leading arguments carry a batch dimension B (as produced by a
+    vmapped encode_shard): comp_words u32[B, CW]; blk_* [B, NB] (dead slots
+    btype == -1); n_blocks i32[B]; sub_* [B, NL] (dead lanes sub_blk == -1);
+    valid_out i32[B] — decoded byte count per shard (shards may be ragged).
+    Returns dict(out=u8[B, out_size], ok, bad_lanes).
+
+    Rationale: vmapping decode_blocks gives every gather/scatter in the
+    symbol loop a batch dimension, which lowers to far slower batched
+    gathers than the flat 1-D form (ROADMAP r4). Folding the shard id into
+    the index arithmetic — word offsets s*CW*32 bits, output offsets s*S,
+    block ids s*NB — makes every descriptor op flat while keeping shards
+    logically independent: tokens cannot cross shard ends (lane_end clamps
+    at block ends) and back-copies cannot reach before a shard's first
+    token for well-formed streams (malformed ones fail verification)."""
+    B, CW = comp_words.shape
+    NBs = blk_bit.shape[1]
+    S = out_size
+    sidx = jnp.arange(B, dtype=jnp.int32)
+    word_bits = CW * 32
+
+    blive = (jnp.arange(NBs, dtype=jnp.int32)[None, :] < n_blocks[:, None]) \
+        & (blk_btype >= 0)
+    fb = jnp.where(blive, blk_bit + sidx[:, None] * word_bits, 0)
+    fo = jnp.where(blive, blk_out + sidx[:, None] * S, -1)
+    ft = jnp.where(blive, blk_btype, -1)
+    # per-block end: next live block in the SAME shard (live blocks are a
+    # prefix of each row) else the shard's valid end
+    nxt = jnp.concatenate([blk_out[:, 1:], jnp.zeros((B, 1), jnp.int32)],
+                          axis=1)
+    lastb = jnp.arange(NBs, dtype=jnp.int32)[None, :] + 1 >= n_blocks[:, None]
+    valid_s = jnp.asarray(valid_out, jnp.int32).reshape(B)
+    fe = jnp.where(blive,
+                   jnp.where(lastb, valid_s[:, None], nxt)
+                   + sidx[:, None] * S, -1)
+
+    slive = sub_blk >= 0
+    fsb = jnp.where(slive, sub_bit + sidx[:, None] * word_bits, -1)
+    fso = jnp.where(slive, sub_out + sidx[:, None] * S, jnp.int32(1 << 30))
+    fsk = jnp.where(slive, sub_blk + sidx[:, None] * NBs, -1)
+
+    r = decode_blocks(comp_words.reshape(-1), fb.reshape(-1),
+                      fo.reshape(-1), ft.reshape(-1), jnp.int32(B * NBs),
+                      fsb.reshape(-1), fso.reshape(-1), fsk.reshape(-1),
+                      jnp.int32(fsb.size), jnp.int32(B * S), B * S,
+                      lut_bits=lut_bits, max_dist=max_dist,
+                      blk_end=fe.reshape(-1))
+    out = r["out"].reshape(B, S)
+    out = jnp.where(jnp.arange(S, dtype=jnp.int32)[None, :]
+                    < valid_s[:, None], out, jnp.uint8(0))
+    return {"out": out, "ok": r["ok"],
+            "bad_lanes": r["bad_lanes"].reshape(B, -1)}
 
 
 def decode_shard_indexed(comp_words, bit_base, out_start, btype, n_blocks,

@@ -183,3 +183,43 @@ def test_lut11_decodes_our_streams():
                         lut_bits=11)
     assert bool(res["ok"])
     assert np.asarray(res["out"])[:vl].tobytes() == raw
+
+
+def test_decode_blocks_batch_flat():
+    """decode_blocks_batch (one flat dispatch over B shards) must agree
+    byte-exactly with per-shard decode_blocks on a mixed batch."""
+    import jax.numpy as jnp
+    from deflate_compression_tpu.decode.tpu_inflate import decode_blocks_batch
+
+    SS = 1 << 16
+    rng = np.random.default_rng(17)
+    bee = open("/root/reference/test_files/original/bee_movie_script.txt",
+               "rb").read()
+    raws = [bee[:SS],
+            rng.integers(0, 256, SS, dtype=np.uint8).tobytes(),   # stored
+            (b"xy" * 1000 + bee[:30000] + b"\0" * 20000)[:SS],
+            bee[30000:30000 + SS - 7777]]                         # ragged last
+    B = len(raws)
+    outs = []
+    fields = {k: [] for k in ("words", "block_bit_base", "block_out_start",
+                              "btype", "n_blocks", "sub_bit", "sub_out",
+                              "sub_blk")}
+    for i, raw in enumerate(raws):
+        buf = np.zeros(SS, np.uint8)
+        buf[:len(raw)] = np.frombuffer(raw, np.uint8)
+        r = encode_shard_jit(jnp.asarray(buf), jnp.int32(len(raw)),
+                             jnp.asarray(i == B - 1))
+        for k in fields:
+            fields[k].append(np.asarray(r[k]))
+        outs.append(raw)
+    batch = {k: jnp.asarray(np.stack(v)) for k, v in fields.items()}
+    res = decode_blocks_batch(batch["words"], batch["block_bit_base"],
+                              batch["block_out_start"], batch["btype"],
+                              batch["n_blocks"], batch["sub_bit"],
+                              batch["sub_out"], batch["sub_blk"],
+                              jnp.asarray([len(r) for r in raws],
+                                          jnp.int32), SS, lut_bits=11)
+    assert bool(res["ok"])
+    got = np.asarray(res["out"])
+    for i, raw in enumerate(outs):
+        assert got[i, :len(raw)].tobytes() == raw, f"shard {i} mismatch"

@@ -92,6 +92,18 @@ def main():
         return
     print("# encoded", file=sys.stderr)
 
+    from deflate_compression_tpu.decode.tpu_inflate import decode_blocks_batch
+
+    def dec_flat(args, salt):
+        # ONE flat dispatch over all shards (the bench path)
+        words, bb, bo, bt, nb, sb, so, sk = args
+        words = words.at[:, -1].add(salt.astype(jnp.uint32))
+        valid = jnp.full((words.shape[0],), SHARD, jnp.int32)
+        r = decode_blocks_batch(words, bb, bo, bt, nb, sb, so, sk, valid,
+                                SHARD, lut_bits=11)
+        return r["ok"], jnp.sum(r["out"].astype(jnp.uint32), axis=1,
+                                dtype=jnp.uint32)
+
     def dec_full(args, salt):
         words, bb, bo, bt, nb, sb, so, sk = args
         words = words.at[:, -1].add(salt.astype(jnp.uint32))
@@ -131,8 +143,9 @@ def main():
             return r["ok"], jnp.sum(r["out"], dtype=jnp.uint32)
         return jax.vmap(one)(words, bb, bo, bt, nb, sb, so, sk)
 
-    stages = [("dec_full", dec_full), ("dec_full2", dec_full),
-              ("dec_headers", dec_headers), ("dec_noblocks", dec_noblocks)]
+    stages = [("dec_flat", dec_flat), ("dec_flat2", dec_flat),
+              ("dec_full", dec_full), ("dec_headers", dec_headers),
+              ("dec_noblocks", dec_noblocks)]
     for name, fn in stages:
         try:
             t0 = time.perf_counter()
