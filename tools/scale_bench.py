@@ -41,7 +41,7 @@ def _alarm(seconds):
     return _G()
 
 
-def run_tpu():
+def run_tpu(tile: int = TILE):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -65,7 +65,7 @@ def run_tpu():
     # re-derives its rows from the device-resident base with a wave-dependent
     # salt so the execution cache cannot shortcut any wave.
     WAVE = 16
-    NWAVES = (BASE_SHARDS * TILE) // WAVE
+    NWAVES = (BASE_SHARDS * tile) // WAVE
 
     @jax.jit
     def wave_encode(dbase, salt):
@@ -82,28 +82,41 @@ def run_tpu():
         jax.ShapeDtypeStruct((), jnp.uint8)).compile()
 
     total_bits = 0
+    wave_times = []
     t0 = time.perf_counter()
     for w in range(NWAVES):
         with _alarm(200):
-            tb = ex(dbase, jnp.uint8(w + 1))
+            tw = time.perf_counter()
+            tb = ex(dbase, jnp.uint8((w % 250) + 1))
             total_bits += int(np.asarray(tb).sum())
+            wave_times.append(time.perf_counter() - tw)
     dt = time.perf_counter() - t0
     n = WAVE * SHARD * NWAVES
     mbps = n / dt / 1e6
     ratio = (total_bits / 8) / n
 
-    corpus100 = base * TILE
+    # host zlib-6 baseline, STREAMED over the identical tiled corpus
+    # (1 GB would not fit comfortably as one bytes object)
     t0 = time.perf_counter()
-    z = zlib.compress(corpus100, 6)
+    co = zlib.compressobj(6)
+    zlen = 0
+    for _ in range(tile):
+        zlen += len(co.compress(base))
+    zlen += len(co.flush())
     zdt = time.perf_counter() - t0
-    z_mbps = len(corpus100) / zdt / 1e6
-    z_ratio = (len(z) - 6) / len(corpus100)
+    z_mbps = len(base) * tile / zdt / 1e6
+    z_ratio = (zlen - 6) / (len(base) * tile)
 
-    rec = {"mode": "tpu_100mb", "bytes": n, "seconds": round(dt, 2),
+    q = max(1, NWAVES // 4)
+    rec = {"mode": f"tpu_{n >> 20}mb", "bytes": n, "seconds": round(dt, 2),
            "mb_per_s": round(mbps, 2), "ratio": round(ratio, 5),
            "zlib6_mb_per_s": round(z_mbps, 1),
            "zlib6_ratio": round(z_ratio, 5),
-           "waves": NWAVES, "wave_shards": WAVE}
+           "waves": NWAVES, "wave_shards": WAVE,
+           # flat-curve evidence: mean wave time, first vs last quartile
+           "wave_s_mean": round(float(np.mean(wave_times)), 3),
+           "wave_s_first_quartile": round(float(np.mean(wave_times[:q])), 3),
+           "wave_s_last_quartile": round(float(np.mean(wave_times[-q:])), 3)}
     print(json.dumps(rec))
     with open("/root/repo/.scale_tpu.json", "w") as f:
         json.dump(rec, f)
@@ -176,4 +189,6 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "cpu":
         run_cpu()
     else:
-        run_tpu()
+        # `tpu [tile]`: tile 50 -> 100 MB, 500 -> 1 GB
+        t = int(sys.argv[2]) if len(sys.argv) > 2 else TILE
+        run_tpu(t)
