@@ -76,20 +76,36 @@ def main():
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
 
+    # Each dispatch through the axon tunnel costs ~48 ms of pure roundtrip
+    # latency (measured: tools/profile_decode dec_null) on top of device
+    # work; the bench therefore processes TILE_ENC copies of the corpus per
+    # dispatch — derived ON DEVICE with distinct salts, identical per-byte
+    # work (same construction as the 100 MB/1 GB scale runs) — so the
+    # reported MB/s reflects sustained throughput, not tunnel latency.
+    TILE_ENC = 4
+
     @jax.jit
     def encode_all(batch, salt):
         # salt defeats execution-result caching between repeats without
-        # changing the workload measurably (one byte of one shard); only
+        # changing the workload measurably (one byte per shard copy); only
         # scalar-sized outputs leave the device
-        batch = batch.at[0, 0].set(salt)
+        tiles = jnp.tile(batch, (TILE_ENC, 1))
+        tiles = tiles.at[:, 0].set(
+            salt + jnp.arange(tiles.shape[0], dtype=jnp.uint8))
 
         def one(row, fin):
             r = encode_shard(row, jnp.int32(SHARD), fin)
             return (r["total_bits"], jnp.sum(r["words"], dtype=jnp.uint32))
-        # vmap (not lax.map): batching the shards amortizes per-op dispatch
-        # overhead ~8x — the encoder is hundreds of small vector ops
-        fins = jnp.arange(batch.shape[0]) == batch.shape[0] - 1
-        return jax.vmap(one)(batch, fins)
+        fins = jnp.zeros((TILE_ENC, N_SHARDS), jnp.bool_).at[:, -1].set(
+            True).reshape(-1)
+        # lax.map of vmap(8) chunks: one dispatch (amortizes the tunnel
+        # roundtrip) at vmap(8) peak memory — the encoder's stacked
+        # candidate scoring is memory-hungry at wider vmaps
+        bits, fps = jax.lax.map(
+            lambda ab: jax.vmap(one)(*ab),
+            (tiles.reshape(TILE_ENC, N_SHARDS, SHARD),
+             fins.reshape(TILE_ENC, N_SHARDS)))
+        return bits.reshape(-1), fps.reshape(-1)
 
     @jax.jit
     def encode_last(batch):
@@ -178,10 +194,10 @@ def main():
         print("# rep 2 wedged; using first measurement", file=sys.stderr)
     finally:
         signal.alarm(0)
-    ours_mbps = n / best / 1e6
+    ours_mbps = n * TILE_ENC / best / 1e6
 
     comp_bytes = int(np.sum((bits_h + 7) // 8))
-    ratio = comp_bytes / n
+    ratio = comp_bytes / (n * TILE_ENC)
 
     # spot-verify the final shard's actual bytes through the zlib oracle
     # (skipped if the tunnel session wedged — full verification lives in
@@ -233,13 +249,23 @@ def main():
             return jax.vmap(one)(batch, fins)
 
         # ONE flat dispatch for all shards (vmapping decode_blocks lowers
-        # every symbol-loop gather to a slower batched form — ROADMAP r4)
+        # every symbol-loop gather to a slower batched form — ROADMAP r4);
+        # TILE_DEC on-device copies amortize the ~48 ms tunnel roundtrip
+        # exactly like the encode side.
+        TILE_DEC = 4
+
+        def _tile(x):
+            return jnp.tile(x, (TILE_DEC,) + (1,) * (x.ndim - 1))
+
         @jax.jit
         def dec_all(words, bb, bo, bt, nb, sb, so, sk, salt):
-            words = words.at[:, -1].add(salt.astype(jnp.uint32))
-            valid = jnp.full((words.shape[0],), SHARD, jnp.int32)
-            r = decode_blocks_batch(words, bb, bo, bt, nb, sb, so, sk,
-                                    valid, SHARD, lut_bits=11)
+            w = _tile(words)
+            w = w.at[:, -1].add(salt
+                                + jnp.arange(w.shape[0], dtype=jnp.uint32))
+            valid = jnp.full((w.shape[0],), SHARD, jnp.int32)
+            r = decode_blocks_batch(w, _tile(bb), _tile(bo), _tile(bt),
+                                    _tile(nb), _tile(sb), _tile(so),
+                                    _tile(sk), valid, SHARD, lut_bits=11)
             return r["ok"], jnp.sum(
                 r["out"].astype(jnp.uint32), axis=1, dtype=jnp.uint32)
 
@@ -272,10 +298,10 @@ def main():
                 outsum = np.asarray(outsum)
                 dt = time.perf_counter() - t0
             dbest = dt if dbest is None else min(dbest, dt)
-        want = shards.astype(np.uint32).sum(axis=1)
+        want = np.tile(shards.astype(np.uint32).sum(axis=1), TILE_DEC)
         dec_ok = bool(oks.all()) and bool(
             (outsum == (want & 0xFFFFFFFF)).all())
-        dec_mbps = n / dbest / 1e6
+        dec_mbps = n * TILE_DEC / dbest / 1e6
 
         # untimed adler verification of the decoded bytes, on device
         try:

@@ -224,7 +224,8 @@ def _merge_lut(rank, cl, pay, cl_shift: int):
 # the decoder
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("out_size", "lut_bits"))
+@functools.partial(jax.jit, static_argnames=("out_size", "lut_bits",
+                                             "_ablate"))
 def decode_blocks(comp_words: jnp.ndarray,
                   blk_bit: jnp.ndarray,
                   blk_out: jnp.ndarray,
@@ -240,7 +241,10 @@ def decode_blocks(comp_words: jnp.ndarray,
                   prefix_len: jnp.ndarray | None = None,
                   lut_bits: int = MAX_BITS,
                   max_dist: jnp.ndarray | int = C.WINDOW_SIZE,
-                  blk_end: jnp.ndarray | None = None):
+                  blk_end: jnp.ndarray | None = None,
+                  _ablate: str = ""):
+    # _ablate: PROFILING ONLY — comma list of stages to stub out (wrong
+    # output, same shapes): "lut", "canon", "slices", "toksc", "hw".
     """Decode a DEFLATE substream given its block index + sub-entries.
 
     Args:
@@ -386,17 +390,28 @@ def decode_blocks(comp_words: jnp.ndarray,
     d_lens = jnp.where(is_fix[:, None],
                        jnp.asarray(_FIXED_D_LEN_FULL)[None, :], d_lens)
 
-    ll_first, ll_limit, ll_base, ll_order, ll_over = _canon_tables(
-        ll_lens, _N_LL, MAX_BITS)
-    d_first, d_limit, d_base, d_order, d_over = _canon_tables(
-        d_lens, _N_D, MAX_BITS)
-    bbad = bbad | (huff & (ll_over | d_over))
+    if "canon" in _ablate:                               # profiling stub
+        z = jnp.zeros((NB, MAX_BITS + 1), jnp.int32)
+        ll_first = ll_limit = ll_base = z
+        d_first = d_limit = d_base = z
+        ll_order = jnp.zeros((NB, _N_LL), jnp.int32)
+        d_order = jnp.zeros((NB, _N_D), jnp.int32)
+    else:
+        ll_first, ll_limit, ll_base, ll_order, ll_over = _canon_tables(
+            ll_lens, _N_LL, MAX_BITS)
+        d_first, d_limit, d_base, d_order, d_over = _canon_tables(
+            d_lens, _N_D, MAX_BITS)
+        bbad = bbad | (huff & (ll_over | d_over))
 
     lsz = 1 << lut_bits
-    ll_rank, ll_cl = _build_lut(ll_first, ll_limit, ll_base, lut_bits,
-                                _rev_np(lut_bits))
-    d_rank, d_cl = _build_lut(d_first, d_limit, d_base, lut_bits,
-                              _rev_np(lut_bits))
+    if "lut" in _ablate:                                 # profiling stub
+        ll_rank = ll_cl = jnp.zeros((NB, lsz), jnp.int32)
+        d_rank = d_cl = jnp.zeros((NB, lsz), jnp.int32)
+    else:
+        ll_rank, ll_cl = _build_lut(ll_first, ll_limit, ll_base, lut_bits,
+                                    _rev_np(lut_bits))
+        d_rank, d_cl = _build_lut(d_first, d_limit, d_base, lut_bits,
+                                  _rev_np(lut_bits))
 
     # Rank -> payload tables (tiny NB×288 math), then folded INTO the peek
     # LUTs (_merge_lut) so the symbol loop needs exactly ONE gather per
@@ -443,7 +458,10 @@ def decode_blocks(comp_words: jnp.ndarray,
     d_lut_f = _merge_lut(d_rank, d_cl, d_pay, 20).reshape(-1)
 
     # -------------------------------------------- phase B: sub-entry lanes
-    hw = _halfwords(comp_words)
+    if "hw" in _ablate:                                  # profiling stub
+        hw = jnp.zeros((2 * CW, 2), jnp.uint32)
+    else:
+        hw = _halfwords(comp_words)
 
     llanes = jnp.arange(NL, dtype=jnp.int32)
     lblk = jnp.clip(sub_blk, 0, NB - 1)
@@ -579,7 +597,9 @@ def decode_blocks(comp_words: jnp.ndarray,
     # so a start-scatter + cummax yields "this position is inside some live
     # block" — the precise domain for match/strictness checks (in batch
     # mode the flat layout has dead gaps between shards' valid ends)
-    cend = jax.lax.cummax(jnp.zeros((S,), jnp.int32).at[start_slot].max(
+    _scan_max = ((lambda x: x) if "scans" in _ablate     # profiling stub
+                 else jax.lax.cummax)
+    cend = _scan_max(jnp.zeros((S,), jnp.int32).at[start_slot].max(
         jnp.where(blive, blk_end, 0), mode="drop"))
     pos_live = j_idx < cend
     use_packed = NB <= 64 and S < (1 << 22) and 4 * CW < (1 << 22)
@@ -589,7 +609,7 @@ def decode_blocks(comp_words: jnp.ndarray,
                  | (is_sto.astype(jnp.int32) << 23)
                  | jnp.clip(sto_pay_byte - blk_out + _BIAS, 0,
                             (1 << 23) - 1))
-        pc = jax.lax.cummax(jnp.zeros((S,), jnp.int32).at[start_slot].max(
+        pc = _scan_max(jnp.zeros((S,), jnp.int32).at[start_slot].max(
             jnp.where(blive, markv, 0), mode="drop"))
         pos_sto = (((pc >> 23) & 1) == 1) & (j_idx >= plen) & ((pc >> 24) > 0)
         # stored payloads are CONTIGUOUS byte ranges: copy each live stored
@@ -598,26 +618,29 @@ def decode_blocks(comp_words: jnp.ndarray,
         # blocks are <= 65535 output bytes (16-bit LEN), so a 64 KB window
         # covers any block
         _WSTO = 1 << 16
-        cbytes = ((comp_words[:, None]
-                   >> (jnp.arange(4, dtype=jnp.uint32)[None, :]
-                       * np.uint32(8))) & np.uint32(0xFF)).reshape(-1)
-        cpad = jnp.concatenate([cbytes, jnp.zeros((_WSTO,), jnp.uint32)])
-        lv_pad = jnp.concatenate([lit_val, jnp.zeros((_WSTO,), jnp.uint32)])
-        t65 = jnp.arange(_WSTO, dtype=jnp.int32)
-        for b in range(NB):
-            live_sto = is_sto[b]
-            src0 = jnp.clip(sto_pay_byte[b], 0, 4 * CW)
-            dst0 = jnp.clip(blk_out[b], 0, S)
-            pay = jax.lax.dynamic_slice(cpad, (src0,), (_WSTO,))
-            cur = jax.lax.dynamic_slice(lv_pad, (dst0,), (_WSTO,))
-            ln = jnp.clip(blk_end[b] - blk_out[b], 0, _WSTO)
-            new = jnp.where(live_sto & (t65 < ln), pay, cur)
-            lv_pad = jax.lax.dynamic_update_slice(lv_pad, new, (dst0,))
-        lit_val = lv_pad[:S]
+        if "slices" not in _ablate:
+            cbytes = ((comp_words[:, None]
+                       >> (jnp.arange(4, dtype=jnp.uint32)[None, :]
+                           * np.uint32(8))) & np.uint32(0xFF)).reshape(-1)
+            cpad = jnp.concatenate([cbytes,
+                                    jnp.zeros((_WSTO,), jnp.uint32)])
+            lv_pad = jnp.concatenate([lit_val,
+                                      jnp.zeros((_WSTO,), jnp.uint32)])
+            t65 = jnp.arange(_WSTO, dtype=jnp.int32)
+            for b in range(NB):
+                live_sto = is_sto[b]
+                src0 = jnp.clip(sto_pay_byte[b], 0, 4 * CW)
+                dst0 = jnp.clip(blk_out[b], 0, S)
+                pay = jax.lax.dynamic_slice(cpad, (src0,), (_WSTO,))
+                cur = jax.lax.dynamic_slice(lv_pad, (dst0,), (_WSTO,))
+                ln = jnp.clip(blk_end[b] - blk_out[b], 0, _WSTO)
+                new = jnp.where(live_sto & (t65 < ln), pay, cur)
+                lv_pad = jax.lax.dynamic_update_slice(lv_pad, new, (dst0,))
+            lit_val = lv_pad[:S]
     else:
         bstart_mark = jnp.zeros((S,), jnp.int32).at[start_slot].max(
             blanes + 1, mode="drop")
-        blk_of_pos = jnp.clip(jax.lax.cummax(bstart_mark) - 1, 0, NB - 1)
+        blk_of_pos = jnp.clip(_scan_max(bstart_mark) - 1, 0, NB - 1)
         blocktab = jnp.stack([is_sto.astype(jnp.int32), sto_pay_byte,
                               blk_out], axis=1)
         btrow = blocktab[blk_of_pos]                      # (S, 3)-row gather
@@ -641,9 +664,12 @@ def decode_blocks(comp_words: jnp.ndarray,
     # doubling rounds, each an S-sized gather). Only chains that hop
     # between DIFFERENT distances remain for the pointer doubling below.
     start_mark = jnp.where(t_valid, j_idx, -1)
-    s_j = jax.lax.cummax(start_mark)
+    s_j = _scan_max(start_mark)
     s_c = jnp.clip(s_j, 0, S - 1)
-    tok_sc = tok[s_c]                   # ONE gather replaces t_match/t_d[s_c]
+    if "toksc" in _ablate:                               # profiling stub
+        tok_sc = tok[:S]
+    else:
+        tok_sc = tok[s_c]               # ONE gather replaces t_match/t_d[s_c]
     d_j = jnp.where((s_j >= 0) & (((tok_sc >> 26) & 1) == 1),
                     (tok_sc >> 9) & 0xFFFF, 0)
     # second byte of a two-literal token (phase B pair entries): covered by
@@ -655,7 +681,7 @@ def decode_blocks(comp_words: jnp.ndarray,
     mpos = (d_j > 0) & ~pos_sto & (j_idx >= plen) & pos_live
     rd = jnp.where(mpos, d_j, 0)
     prev_rd = jnp.concatenate([jnp.full((1,), -1, jnp.int32), rd[:-1]])
-    r = jax.lax.cummax(jnp.where(rd != prev_rd, j_idx, -1))  # run start >= 0
+    r = _scan_max(jnp.where(rd != prev_rd, j_idx, -1))   # run start >= 0
     base = r - rd
     g = base + jnp.where(mpos, (j_idx - base) % jnp.maximum(rd, 1), 0)
     bad_dist = jnp.any(mpos & (g < 0))

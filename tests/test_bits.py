@@ -69,3 +69,17 @@ def test_bitreader_align_and_bytes():
     assert r.read(8) == 3
     with pytest.raises(EOFError):
         r.read(1)
+
+
+def test_blocked_scans_match_lax():
+    """core/scans blocked two-level scans == jax.lax primitives."""
+    import jax
+    import jax.numpy as jnp
+    from deflate_compression_tpu.core import scans
+    rng = np.random.default_rng(3)
+    for n in (64, 4096, 1 << 16, 1000):     # incl. non-multiple-of-R
+        x = jnp.asarray(rng.integers(-2**30, 2**30, n, dtype=np.int32))
+        assert (scans.cummax(x) == jax.lax.cummax(x)).all()
+        assert (scans.cummin(x) == jax.lax.cummin(x)).all()
+        u = jnp.asarray(rng.integers(0, 50, n, dtype=np.int32))
+        assert (scans.cumsum(u) == jnp.cumsum(u)).all()

@@ -143,9 +143,38 @@ def main():
             return r["ok"], jnp.sum(r["out"], dtype=jnp.uint32)
         return jax.vmap(one)(words, bb, bo, bt, nb, sb, so, sk)
 
-    stages = [("dec_flat", dec_flat), ("dec_flat2", dec_flat),
+    def make_ablate(abl):
+        def fn(args, salt):
+            words, bb, bo, bt, nb, sb, so, sk = args
+            words = words.at[:, -1].add(salt.astype(jnp.uint32))
+
+            def one(w, bb1, bo1, bt1, nb1, sb1, so1, sk1):
+                r = decode_blocks(w, bb1, bo1, jnp.full_like(bt1, -1),
+                                  jnp.int32(0), sb1, so1,
+                                  jnp.full_like(sk1, -1), jnp.int32(0),
+                                  jnp.int32(SHARD), SHARD, lut_bits=11,
+                                  _ablate=abl)
+                return r["ok"], jnp.sum(r["out"], dtype=jnp.uint32)
+            return jax.vmap(one)(words, bb, bo, bt, nb, sb, so, sk)
+        return fn
+
+    def dec_null(args, salt):
+        # measurement floor: touch the inputs, do no decode work
+        words, bb, bo, bt, nb, sb, so, sk = args
+        words = words.at[:, -1].add(salt.astype(jnp.uint32))
+        return (jnp.sum(words, dtype=jnp.uint32),
+                jnp.sum(bb, dtype=jnp.int32)
+                + jnp.sum(sk, dtype=jnp.int32))
+
+    stages = [("dec_null", dec_null), ("dec_null2", dec_null),
+              ("dec_flat", dec_flat), ("dec_flat2", dec_flat),
               ("dec_full", dec_full), ("dec_headers", dec_headers),
-              ("dec_noblocks", dec_noblocks)]
+              ("dec_noblocks", dec_noblocks),
+              ("nb-slices", make_ablate("slices")),
+              ("nb-lut", make_ablate("slices,lut")),
+              ("nb-canon", make_ablate("slices,lut,canon")),
+              ("nb-min", make_ablate("slices,lut,canon,toksc,hw")),
+              ("nb-min-scan", make_ablate("slices,lut,canon,toksc,hw,scans"))]
     for name, fn in stages:
         try:
             t0 = time.perf_counter()
