@@ -57,8 +57,11 @@ def run_tpu(tile: int = TILE):
 
     dbase = jax.device_put(jnp.asarray(shards), dev)
     jax.block_until_ready(dbase)
-    with _alarm(240):
-        _ = int(np.asarray(jnp.sum(dbase.astype(jnp.uint32))))
+    try:
+        with _alarm(240):
+            _ = int(np.asarray(jnp.sum(dbase.astype(jnp.uint32))))
+    except TimeoutError:
+        print("# materialize wedged; continuing", file=sys.stderr)
     print("# base uploaded", file=sys.stderr)
 
     # Waves of 16 shards (4 MB per dispatch); 25 waves = 100 MB. Each wave
@@ -85,11 +88,21 @@ def run_tpu(tile: int = TILE):
     wave_times = []
     t0 = time.perf_counter()
     for w in range(NWAVES):
-        with _alarm(200):
-            tw = time.perf_counter()
-            tb = ex(dbase, jnp.uint8((w % 250) + 1))
-            total_bits += int(np.asarray(tb).sum())
-            wave_times.append(time.perf_counter() - tw)
+        for attempt in range(3):
+            try:
+                with _alarm(200):
+                    tw = time.perf_counter()
+                    tb = ex(dbase, jnp.uint8((w % 250) + 1))
+                    total_bits += int(np.asarray(tb).sum())
+                    wave_times.append(time.perf_counter() - tw)
+                break
+            except TimeoutError:
+                print(f"# wave {w} attempt {attempt} wedged", file=sys.stderr)
+        else:
+            raise SystemExit(f"wave {w} unrecoverable after 3 attempts")
+        if w % 25 == 0:
+            print(f"# wave {w}/{NWAVES}: {wave_times[-1]:.2f}s",
+                  file=sys.stderr)
     dt = time.perf_counter() - t0
     n = WAVE * SHARD * NWAVES
     mbps = n / dt / 1e6
