@@ -86,7 +86,7 @@ def _tail_bytes(diff):
 
 
 def find_matches(data: jnp.ndarray, num_candidates: int = 32,
-                 max_match_words: int = 8):
+                 max_match_words: int = 8, _stop: str = ""):
     """Best match per position. Returns (length i32[S], dist i32[S]);
     length 0 where no usable match. Lengths capped at
     min(4 * max_match_words + 3, 258).
@@ -115,61 +115,49 @@ def find_matches(data: jnp.ndarray, num_candidates: int = 32,
                                      jnp.zeros((4 * t,), jnp.uint32)]))
     P = jnp.stack(cols, axis=1)                       # (S, PW+1)
 
+    # NOTE: a single-operand packed sort ((hash14 << 18) | pos) was probed
+    # (tools/probe_sort.py) and is NOT faster — the batched 8x256K sort is
+    # only ~2-3 ms/shard once the ~48 ms dispatch floor is separated, so
+    # argsort keeps the full 16-bit hash.
     order = jnp.argsort(h, stable=True)
     hs = h[order]
     ps = order.astype(jnp.int32)        # == pos[order]
-    pr = P[order]                       # ONE row gather
-    pw = [pr[:, t] for t in range(PW + 1)]
-
-    KM = num_candidates
-    hs_pad = _padded(hs, KM, np.uint32(0xFFFFFFFF))
-    ps_pad = _padded(ps, KM, -1)
-    pw_pad = [_padded(pw[t], KM, np.uint32(0)) for t in range(PW + 1)]
-
-    def score_k(k, words):
-        """Byte-exact leading-match length vs the k-th sorted predecessor,
-        scored over the first `words` payload words (+1 tail word)."""
-        same = hs == _shifted(hs_pad, k, KM, S)
-        cnd = _shifted(ps_pad, k, KM, S)
-        ok = same & (cnd >= 0) & (ps - cnd <= C.WINDOW_SIZE)
-        run = jnp.ones((S,), jnp.int32)
-        nw = jnp.zeros((S,), jnp.int32)
-        first_diff = jnp.zeros((S,), jnp.uint32)
-        for t in range(words):
-            diff = pw[t] ^ _shifted(pw_pad[t], k, KM, S)
-            hit = (run > 0) & (diff != 0)
-            first_diff = jnp.where(hit, diff, first_diff)
-            eq = (diff == 0).astype(jnp.int32)
-            nw = nw + run * eq
-            run = run * eq
-        dlast = pw[words] ^ _shifted(pw_pad[words], k, KM, S)
-        first_diff = jnp.where(run > 0, dlast, first_diff)
-        nbytes = 4 * nw + _tail_bytes(first_diff)     # exact up to 4*words+3
-        return jnp.where(ok, nbytes, -1), cnd
-
-    # Single-tier scoring (the candidate loop is elementwise-bandwidth-
-    # bound): ALL candidates get a 2-word (11-byte-exact) preselect, and
-    # the one winner is rescored exactly with ONE row gather + a 9-word
-    # compare. Selection quality loss is only among candidates that tie
-    # beyond 11 leading bytes (nearest wins the tie — zlib's own chain
-    # walk has the same nearest-first bias); measured ratio cost on the
-    # bench corpus is < 0.01% for a ~2x cut in scoring passes.
+    if _stop == "sort":                 # PROFILING: hash + argsort only
+        return (hs.astype(jnp.int32) & 1) + (ps & 1) - (ps & 1), ps & 1
+    # Single-tier scoring (row-descriptor-bound — see tools/profile_r4_encode
+    # ablation): ALL candidates get a 2-word (11-byte-exact) preselect over
+    # NARROW 3-column sorted rows, then the one winner is rescored exactly
+    # IN POSITION ORDER, where a position's own payload row is just P's
+    # natural layout — so the whole stage spends TWO row-gather streams
+    # (narrow sorted preselect rows + the winner's rows) and ONE 1-column
+    # scatter, instead of three full-width streams. Selection quality loss
+    # is only among candidates that tie beyond 11 leading bytes (nearest
+    # wins the tie — zlib's own chain walk has the same nearest-first
+    # bias); measured ratio cost on the bench corpus is < 0.01%.
     FAR_WORDS = min(2, PW - 1) if PW >= 2 else 0
+    KM = num_candidates
+    ps_pad = _padded(ps, KM, -1)
     if S <= (1 << 20) and FAR_WORDS == 2 and num_candidates <= 64:
         # STACKED preselect: all K candidates scored in one (K, S) batch of
         # fused elementwise ops (the per-k Python loop was ~300 tiny
-        # dispatches, measured ~11 ms/shard of pure op overhead). Same-hash
-        # candidacy comes from ONE run-start scan over the sorted keys
-        # instead of K shifted hash compares, and the winner is selected by
-        # a single packed max — key = (nbytes+1)<<26 | (K-k)<<20 | cand —
-        # which preserves the strict nearest-wins tie-break (smaller k
-        # first) without any gather.
+        # dispatches). Same-hash candidacy comes from ONE run-start scan
+        # over the sorted keys instead of K shifted hash compares, and the
+        # winner is selected by a single packed max —
+        # key = (nbytes+1)<<26 | (K-k)<<20 | cand — which preserves the
+        # strict nearest-wins tie-break (smaller k first) without a gather.
+        pr = P[:, :FAR_WORDS + 1][order]         # NARROW (S, 3) row gather
+        if _stop == "gather":           # PROFILING: + payload row gather
+            return (jnp.sum(pr, axis=1).astype(jnp.int32) & 1), ps & 1
+        pw = [pr[:, t] for t in range(FAR_WORDS + 1)]
+        pw_pad = [_padded(pw[t], KM, np.uint32(0))
+                  for t in range(FAR_WORDS + 1)]
         K = num_candidates
         kvec = jnp.arange(1, K + 1, dtype=jnp.int32)[:, None]
         idx_s = jnp.arange(S, dtype=jnp.int32)
         run_ne = jnp.concatenate([jnp.ones((1,), jnp.bool_),
                                   hs[1:] != hs[:-1]])
-        seg_start = jax.lax.cummax(jnp.where(run_ne, idx_s, -1))
+        from . import scans
+        seg_start = scans.cummax(jnp.where(run_ne, idx_s, -1))
         same = kvec <= (idx_s[None, :] - seg_start[None, :])
         ps_k = jnp.stack([_shifted(ps_pad, k, KM, S)
                           for k in range(1, K + 1)])
@@ -189,41 +177,89 @@ def find_matches(data: jnp.ndarray, num_candidates: int = 32,
                         | ps_k, -1)
         mk = jnp.max(key, axis=0)
         best_cand = jnp.where(mk >= (1 << 26), mk & 0xFFFFF, -1)
+        if _stop == "preselect":        # PROFILING: + stacked K-candidate
+            return best_cand & 1, best_cand & 2
+        # back to position order — ONE 1-column scatter (ps is a permutation)
+        cand_p = jnp.full((S,), -1, jnp.int32).at[ps].set(best_cand)
+        valid = cand_p >= 0
+        cand_c = jnp.maximum(cand_p, 0)
+        # exact rescore IN POSITION ORDER: own rows are P's layout (no
+        # gather), only the winner's rows are fetched
+        fr = P[cand_c]                                 # (S, PW+1) row gather
+        run = jnp.ones((S,), jnp.int32)
+        nw = jnp.zeros((S,), jnp.int32)
+        first_diff = jnp.zeros((S,), jnp.uint32)
+        for t in range(PW):
+            diff = P[:, t] ^ fr[:, t]
+            hit = (run > 0) & (diff != 0)
+            first_diff = jnp.where(hit, diff, first_diff)
+            eq = (diff == 0).astype(jnp.int32)
+            nw = nw + run * eq
+            run = run * eq
+        dlast = P[:, PW] ^ fr[:, PW]
+        first_diff = jnp.where(run > 0, dlast, first_diff)
+        blen_p = jnp.where(valid, 4 * nw + _tail_bytes(first_diff), -1)
     else:
+        pr = P[order]                                  # full (S, PW+1) rows
+        if _stop == "gather":           # PROFILING: + payload row gather
+            return (jnp.sum(pr, axis=1).astype(jnp.int32) & 1), ps & 1
+        pw = [pr[:, t] for t in range(PW + 1)]
+        hs_pad = _padded(hs, KM, np.uint32(0xFFFFFFFF))
+        pw_pad = [_padded(pw[t], KM, np.uint32(0)) for t in range(PW + 1)]
+
+        def score_k(k, words):
+            """Byte-exact leading-match length vs the k-th sorted
+            predecessor, scored over the first `words` payload words
+            (+1 tail word)."""
+            same = hs == _shifted(hs_pad, k, KM, S)
+            cnd = _shifted(ps_pad, k, KM, S)
+            ok = same & (cnd >= 0) & (ps - cnd <= C.WINDOW_SIZE)
+            run = jnp.ones((S,), jnp.int32)
+            nw = jnp.zeros((S,), jnp.int32)
+            first_diff = jnp.zeros((S,), jnp.uint32)
+            for t in range(words):
+                diff = pw[t] ^ _shifted(pw_pad[t], k, KM, S)
+                hit = (run > 0) & (diff != 0)
+                first_diff = jnp.where(hit, diff, first_diff)
+                eq = (diff == 0).astype(jnp.int32)
+                nw = nw + run * eq
+                run = run * eq
+            dlast = pw[words] ^ _shifted(pw_pad[words], k, KM, S)
+            first_diff = jnp.where(run > 0, dlast, first_diff)
+            nbytes = 4 * nw + _tail_bytes(first_diff)  # exact to 4*words+3
+            return jnp.where(ok, nbytes, -1), cnd
+
         best_bytes = jnp.full((S,), -1, jnp.int32)
         best_cand = jnp.full((S,), -1, jnp.int32)
         for k in range(1, num_candidates + 1):
             nbytes, cnd = score_k(k, FAR_WORDS)
-            upd = nbytes > best_bytes     # strict: earlier k (nearer) wins ties
+            upd = nbytes > best_bytes   # strict: earlier k (nearer) wins ties
             best_bytes = jnp.where(upd, nbytes, best_bytes)
             best_cand = jnp.where(upd, cnd, best_cand)
 
-    # exact rescore of the winner: one row gather + 9-word compare
-    fc = jnp.maximum(best_cand, 0)
-    fr = P[fc]                                     # (S, PW+1)
-    run = jnp.ones((S,), jnp.int32)
-    nw = jnp.zeros((S,), jnp.int32)
-    first_diff = jnp.zeros((S,), jnp.uint32)
-    for t in range(PW):
-        diff = pr[:, t] ^ fr[:, t]
-        hit = (run > 0) & (diff != 0)
-        first_diff = jnp.where(hit, diff, first_diff)
-        eq = (diff == 0).astype(jnp.int32)
-        nw = nw + run * eq
-        run = run * eq
-    dlast = pr[:, PW] ^ fr[:, PW]
-    first_diff = jnp.where(run > 0, dlast, first_diff)
-    best_bytes = jnp.where(best_cand >= 0,
-                           4 * nw + _tail_bytes(first_diff), -1)
-
-    # back to position order — ONE (S, 2)-row scatter (descriptor cost is
-    # per row, not per element: two separate scatters measured ~2x this)
-    bc = jnp.full((S, 2), -1, jnp.int32).at[ps].set(
-        jnp.stack([best_bytes, best_cand], axis=1))  # ps is a permutation
-    blen_p = bc[:, 0]
-    cand_p = bc[:, 1]
-    valid = cand_p >= 0
-    cand_c = jnp.maximum(cand_p, 0)
+        # exact rescore of the winner in sorted order + 2-column scatter
+        fc = jnp.maximum(best_cand, 0)
+        fr = P[fc]                                     # (S, PW+1)
+        run = jnp.ones((S,), jnp.int32)
+        nw = jnp.zeros((S,), jnp.int32)
+        first_diff = jnp.zeros((S,), jnp.uint32)
+        for t in range(PW):
+            diff = pr[:, t] ^ fr[:, t]
+            hit = (run > 0) & (diff != 0)
+            first_diff = jnp.where(hit, diff, first_diff)
+            eq = (diff == 0).astype(jnp.int32)
+            nw = nw + run * eq
+            run = run * eq
+        dlast = pr[:, PW] ^ fr[:, PW]
+        first_diff = jnp.where(run > 0, dlast, first_diff)
+        best_bytes = jnp.where(best_cand >= 0,
+                               4 * nw + _tail_bytes(first_diff), -1)
+        bc = jnp.full((S, 2), -1, jnp.int32).at[ps].set(
+            jnp.stack([best_bytes, best_cand], axis=1))
+        blen_p = bc[:, 0]
+        cand_p = bc[:, 1]
+        valid = cand_p >= 0
+        cand_c = jnp.maximum(cand_p, 0)
 
     if max_match_words > PW:
         # extension beyond the payload: 4-byte-stride gathers where the whole
@@ -388,11 +424,12 @@ def tokenize(data: jnp.ndarray, valid_len: jnp.ndarray,
     length, dist = find_matches(data, num_candidates, max_match_words)
 
     # Constant runs (period-1): exact dist-1 matches without any gathers.
+    from . import scans
     prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
                             data[:-1].astype(jnp.int32)])
     neq = data.astype(jnp.int32) != prev
     nxt_start = jnp.where(neq, pos, S)
-    run_end = jnp.flip(jax.lax.cummin(jnp.flip(
+    run_end = jnp.flip(scans.cummin(jnp.flip(
         jnp.concatenate([nxt_start[1:], jnp.array([S], jnp.int32)]))))
     run_len = jnp.where(~neq, jnp.minimum(run_end - pos, C.MAX_MATCH), 0)
     better = run_len > length

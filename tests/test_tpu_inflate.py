@@ -223,3 +223,48 @@ def test_decode_blocks_batch_flat():
     got = np.asarray(res["out"])
     for i, raw in enumerate(outs):
         assert got[i, :len(raw)].tobytes() == raw, f"shard {i} mismatch"
+
+
+def test_decode_blocks_batch_flags_corruption():
+    """A corrupted shard inside a flat batch must flag ok=False (bit flips
+    in one shard's words; the batch shares one dispatch)."""
+    import jax.numpy as jnp
+    from deflate_compression_tpu.decode.tpu_inflate import decode_blocks_batch
+
+    SS = 1 << 16
+    bee = open("/root/reference/test_files/original/bee_movie_script.txt",
+               "rb").read()
+    raws = [(bee * 3)[:SS], (bee * 3)[1000:1000 + SS]]
+    fields = {k: [] for k in ("words", "block_bit_base", "block_out_start",
+                              "btype", "n_blocks", "sub_bit", "sub_out",
+                              "sub_blk")}
+    for i, raw in enumerate(raws):
+        buf = np.frombuffer(raw, np.uint8)
+        r = encode_shard_jit(jnp.asarray(buf), jnp.int32(SS),
+                             jnp.asarray(i == 1))
+        for k in fields:
+            fields[k].append(np.asarray(r[k]))
+    rng = np.random.default_rng(23)
+    flagged = 0
+    for trial in range(6):
+        w = np.stack(fields["words"]).copy()
+        nw = w.shape[1]
+        for _ in range(3):
+            w[1, rng.integers(0, nw // 2)] ^= np.uint32(1) << rng.integers(0, 32)
+        res = decode_blocks_batch(
+            jnp.asarray(w), jnp.asarray(np.stack(fields["block_bit_base"])),
+            jnp.asarray(np.stack(fields["block_out_start"])),
+            jnp.asarray(np.stack(fields["btype"])),
+            jnp.asarray(np.stack(fields["n_blocks"])),
+            jnp.asarray(np.stack(fields["sub_bit"])),
+            jnp.asarray(np.stack(fields["sub_out"])),
+            jnp.asarray(np.stack(fields["sub_blk"])),
+            jnp.asarray([SS, SS], jnp.int32), SS, lut_bits=11)
+        out = np.asarray(res["out"])
+        if not bool(res["ok"]):
+            flagged += 1
+        else:
+            # ok => shard 0 must still be intact, shard 1 visibly wrong
+            assert out[0].tobytes() == raws[0]
+            assert out[1].tobytes() != raws[1]
+    assert flagged >= 2
