@@ -597,8 +597,9 @@ def decode_blocks(comp_words: jnp.ndarray,
     # so a start-scatter + cummax yields "this position is inside some live
     # block" — the precise domain for match/strictness checks (in batch
     # mode the flat layout has dead gaps between shards' valid ends)
+    from ..core import scans as _scans
     _scan_max = ((lambda x: x) if "scans" in _ablate     # profiling stub
-                 else jax.lax.cummax)
+                 else _scans.cummax)                     # blocked two-level
     cend = _scan_max(jnp.zeros((S,), jnp.int32).at[start_slot].max(
         jnp.where(blive, blk_end, 0), mode="drop"))
     pos_live = j_idx < cend
