@@ -172,18 +172,30 @@ class AdaptiveHuffmanTree:
                 assert pos[id(n.parent)] > pos[id(n)], \
                     "parent numbering violated"
 
-    def dump(self, node=None, depth=0, out=None) -> str:
-        """ASCII tree dump (reference aht_print aht.c:279-328)."""
+    def dump(self, node=None, depth=0, out=None, color=False) -> str:
+        """ASCII tree dump with INLINE diagnostics, mirroring the
+        reference's aht_print (aht.c:279-328): a node whose stored depth
+        disagrees with its actual tree depth is flagged in place (the
+        reference marks it with ANSI red, aht.c:298-301); `color=True`
+        reproduces the ANSI coloring (leaves green, internals cyan,
+        mismatches red)."""
         top = out is None
         if out is None:
             out = []
             node = self.root
         tag = (f"leaf[{node.sym}]" if node.is_leaf and node.sym is not None
                else ("NYT" if node.is_leaf else "int"))
-        out.append("  " * depth + f"{tag} w={node.weight} d={node.depth}")
+        line = f"{tag} w={node.weight} d={node.depth}"
+        bad = node.depth != depth
+        if bad:
+            line += f" <-- DEPTH MISMATCH (actual {depth})"
+        if color:
+            c = "31" if bad else ("32" if node.is_leaf else "36")
+            line = f"\x1b[{c}m{line}\x1b[0m"
+        out.append("  " * depth + line)
         if not node.is_leaf:
-            self.dump(node.right, depth + 1, out)
-            self.dump(node.left, depth + 1, out)
+            self.dump(node.right, depth + 1, out, color)
+            self.dump(node.left, depth + 1, out, color)
         return "\n".join(out) if top else ""
 
     # ------------------------------------------------------------ internals

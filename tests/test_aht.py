@@ -95,3 +95,20 @@ def test_dump_runs():
         t.insert(s)
     out = t.dump()
     assert "leaf[1] w=3" in out and "NYT" in out
+
+
+def test_dump_flags_depth_mismatch_inline():
+    """The tree printer flags stored-vs-actual depth disagreements in place
+    (reference aht_print's red flag, src/aht.c:298-301)."""
+    t = AdaptiveHuffmanTree(16)
+    for s in b"abracadabra":
+        t.insert(s)
+    d = t.dump()
+    assert "DEPTH MISMATCH" not in d          # healthy tree: no flags
+    assert "leaf" in d and "w=" in d
+    # corrupt one stored depth; the flag must appear exactly there
+    t.root.left.depth += 7
+    d2 = t.dump()
+    assert "DEPTH MISMATCH" in d2
+    dc = t.dump(color=True)
+    assert "\x1b[31m" in dc                   # ANSI red on the bad node
