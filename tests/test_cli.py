@@ -140,3 +140,16 @@ def test_cli_verify_flags_corruption(tmp_path):
     bad = tmp_path / "bad.z"
     bad.write_bytes(bytes(blob))
     assert main(["verify", str(bad)]) == 1
+
+
+def test_cli_verify_gzip_and_raw(tmp_path):
+    """verify subcommand covers gzip (CRC/ISIZE) and raw containers."""
+    from deflate_compression_tpu.cli import main
+    src = tmp_path / "in.txt"
+    src.write_bytes(b"The quick brown fox. " * 800)
+    for container, suffix in (("gzip", "gz"), ("raw", "raw")):
+        comp = tmp_path / f"out.{suffix}"
+        assert main(["compress", str(src), "-o", str(comp),
+                     "--container", container,
+                     "--shard-size", "65536"]) == 0
+        assert main(["verify", str(comp), "--original", str(src)]) == 0
