@@ -104,6 +104,16 @@ def main():
         return r["ok"], jnp.sum(r["out"].astype(jnp.uint32), axis=1,
                                 dtype=jnp.uint32)
 
+    def dec_flat12(args, salt):
+        # wider literal-pair coverage: lut_bits=12 admits (cl1+cl2 <= 12)
+        words, bb, bo, bt, nb, sb, so, sk = args
+        words = words.at[:, -1].add(salt.astype(jnp.uint32))
+        valid = jnp.full((words.shape[0],), SHARD, jnp.int32)
+        r = decode_blocks_batch(words, bb, bo, bt, nb, sb, so, sk, valid,
+                                SHARD, lut_bits=12)
+        return r["ok"], jnp.sum(r["out"].astype(jnp.uint32), axis=1,
+                                dtype=jnp.uint32)
+
     def dec_full(args, salt):
         words, bb, bo, bt, nb, sb, so, sk = args
         words = words.at[:, -1].add(salt.astype(jnp.uint32))
@@ -168,6 +178,7 @@ def main():
 
     stages = [("dec_null", dec_null), ("dec_null2", dec_null),
               ("dec_flat", dec_flat), ("dec_flat2", dec_flat),
+              ("dec_flat12", dec_flat12), ("dec_flat12b", dec_flat12),
               ("dec_full", dec_full), ("dec_headers", dec_headers),
               ("dec_noblocks", dec_noblocks),
               ("nb-slices", make_ablate("slices")),
