@@ -82,7 +82,7 @@ def main():
     # dispatch — derived ON DEVICE with distinct salts, identical per-byte
     # work (same construction as the 100 MB/1 GB scale runs) — so the
     # reported MB/s reflects sustained throughput, not tunnel latency.
-    TILE_ENC = 4
+    TILE_ENC = 8
 
     @jax.jit
     def encode_all(batch, salt):
