@@ -244,7 +244,8 @@ def main():
                 r = encode_shard(row, jnp.int32(SHARD), fin)
                 return (r["words"], r["block_bit_base"],
                         r["block_out_start"], r["btype"], r["n_blocks"],
-                        r["sub_bit"], r["sub_out"], r["sub_blk"])
+                        r["sub_bit"], r["sub_out"], r["sub_blk"],
+                        r["sub_overflow"])
             fins = jnp.arange(batch.shape[0]) == batch.shape[0] - 1
             return jax.vmap(one)(batch, fins)
 
@@ -282,8 +283,12 @@ def main():
             return r["ok"], ad
 
         with _alarm_guard(280):
-            enc_out = enc_keep(dbatch)
-            jax.block_until_ready(enc_out)
+            enc_full = enc_keep(dbatch)
+            jax.block_until_ready(enc_full)
+            enc_out = enc_full[:8]
+            # a dropped sub-entry would leave a range undecoded with ok=True:
+            # gate the decode verdict on it (VERDICT r4 weak #4)
+            sub_ovf = bool(np.asarray(enc_full[8]).any())
             dex = jax.jit(dec_all.__wrapped__).lower(
                 *[jax.ShapeDtypeStruct(x.shape, x.dtype) for x in enc_out],
                 jax.ShapeDtypeStruct((), jnp.uint32)).compile()
@@ -299,7 +304,7 @@ def main():
                 dt = time.perf_counter() - t0
             dbest = dt if dbest is None else min(dbest, dt)
         want = np.tile(shards.astype(np.uint32).sum(axis=1), TILE_DEC)
-        dec_ok = bool(oks.all()) and bool(
+        dec_ok = (not sub_ovf) and bool(oks.all()) and bool(
             (outsum == (want & 0xFFFFFFFF)).all())
         dec_mbps = n * TILE_DEC / dbest / 1e6
 
@@ -326,7 +331,7 @@ def main():
         drec = {"metric": "decode_throughput", "value": round(dec_mbps, 2),
                 "unit": "MB/s", "verified": dec_ok,
                 "vs_baseline": round(dec_mbps / zd_mbps, 3)}
-        with open("/root/repo/DECODE_r04.json", "w") as f:
+        with open("/root/repo/DECODE_r05.json", "w") as f:
             json.dump(drec, f)
     except TimeoutError:
         print("# decode bench wedged; skipped", file=sys.stderr)

@@ -43,29 +43,78 @@ def cmd_compress(args) -> int:
     cfg = CodecConfig(shard_size=args.shard_size,
                       num_candidates=args.candidates,
                       lazy=not args.greedy, container=args.container,
-                      block_type=args.btype)
+                      block_type=args.btype, self_check=args.self_check)
+    if args.stream:
+        # O(shard) memory end to end: never buffers the input or output
+        # (the reference's unbounded-fd capability,
+        # src/deflate_compress.c:14-37); incompatible with --distributed.
+        if args.distributed:
+            print("--stream and --distributed are exclusive", file=sys.stderr)
+            return 2
+        from .models.codec import compress_stream
+        from .decode.index import index_from_shards
+        t0 = time.perf_counter()
+        sink = [] if args.index else None
+        n_out = 0
+        fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
+        fout = (sys.stdout.buffer if args.output == "-"
+                else open(args.output, "wb"))
+        try:
+            for piece in compress_stream(fin, cfg, index_sink=sink):
+                fout.write(piece)
+                n_out += len(piece)
+        finally:
+            if fin is not sys.stdin.buffer:
+                fin.close()
+            if fout is not sys.stdout.buffer:
+                fout.close()
+        if args.index:
+            idx = index_from_shards([t[0] for t in sink],
+                                    [t[1] for t in sink],
+                                    [t[2] for t in sink])
+            with open(args.index, "wb") as f:
+                f.write(idx.to_bytes())
+        if args.verbose:
+            dt = time.perf_counter() - t0
+            print(f"streamed -> {n_out} bytes ({dt:.2f}s)", file=sys.stderr)
+        return 0
     raw = _read(args.input)
     t0 = time.perf_counter()
+    idx = None
     if args.distributed:
         from .parallel.dist import compress_distributed
-        out = compress_distributed(raw, shard_size=cfg.shard_size,
-                                   num_candidates=cfg.num_candidates,
-                                   lazy=cfg.lazy, container=cfg.container)
+        r = compress_distributed(raw, shard_size=cfg.shard_size,
+                                 num_candidates=cfg.num_candidates,
+                                 lazy=cfg.lazy, container=cfg.container,
+                                 force_btype=cfg.force_btype,
+                                 return_index=bool(args.index))
+        out, idx = r if args.index else (r, None)
         stats = None
+        if cfg.self_check:
+            # distributed self-check: full-stream ring replay vs the input
+            # (per-shard interleaving belongs to the single-process path)
+            from .decode.verify import replay_stream
+            from .format.containers import container_header
+            hdr = len(container_header(cfg.container))
+            got, _, _ = replay_stream(out[hdr:], 0)
+            if got != raw:
+                print("self-check FAILED: distributed stream does not "
+                      "replay to the input", file=sys.stderr)
+                return 1
     else:
         out, stats = make_codec(cfg).compress(raw, return_stats=True)
     dt = time.perf_counter() - t0
     _write(args.output, out)
     if args.index:
-        from .decode.index import build_index
-        from .format import constants as FC
-        body = out
-        if cfg.container == "zlib":
-            body = out[2:]
-        elif cfg.container == "gzip":
-            from .format.containers import gzip_parse_header
-            body = out[gzip_parse_header(out):]
-        idx = build_index(body)
+        if idx is None:
+            from .decode.index import build_index
+            body = out
+            if cfg.container == "zlib":
+                body = out[2:]
+            elif cfg.container == "gzip":
+                from .format.containers import gzip_parse_header
+                body = out[gzip_parse_header(out):]
+            idx = build_index(body)
         with open(args.index, "wb") as f:
             f.write(idx.to_bytes())
         if args.verbose:
@@ -309,6 +358,12 @@ def main(argv=None) -> int:
                    help="force a DEFLATE block type")
     c.add_argument("--distributed", action="store_true",
                    help="use all devices in a data-parallel mesh")
+    c.add_argument("--stream", action="store_true",
+                   help="stream shard-by-shard with O(shard) memory "
+                        "(unbounded input)")
+    c.add_argument("--self-check", action="store_true",
+                   help="online token verification: ring-replay each "
+                        "shard before committing it (check_lld)")
     c.add_argument("--stats", help="write per-block cost CSV here")
     c.add_argument("--index", help="write a .dcx decode index sidecar here")
     c.add_argument("-v", "--verbose", action="store_true")

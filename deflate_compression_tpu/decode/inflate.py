@@ -157,7 +157,14 @@ def _inflate_raw_py(data: bytes, bit_pos: int = 0,
                 ll_lut, d_lut = _read_dynamic_tables(r)
             ll_sym, ll_len = ll_lut
             d_sym, d_len = d_lut
+            limit = 8 * len(data)
             while True:
+                # truncation guard: peek() zero-pads past the end, and an
+                # all-zeros prefix can decode as a literal forever — fail
+                # loudly instead (same rule as decode/verify.replay_stream)
+                if r.pos >= limit:
+                    raise DeflateError(
+                        "E_TRUNC", f"stream truncated mid-block at bit {r.pos}")
                 s = _read_symbol(r, ll_sym, ll_len)
                 if s < 256:
                     out.append(s)

@@ -35,15 +35,28 @@ class BlockReport:
     max_dist: int
 
 
-def replay_stream(body: bytes, bit_pos: int = 0):
+def replay_stream(body: bytes, bit_pos: int = 0,
+                  stop_at_bits: int | None = None):
     """Walk a raw DEFLATE stream token by token, replaying each against a
     32 KB ring buffer (check_lld's do_write, tests/check_lld.c:20-39).
     Returns (output bytes, end_bit_pos, [BlockReport...]). Raises
     DeflateError on any malformed structure or a token not resolvable from
-    ring state."""
+    ring state.
+
+    `stop_at_bits` bounds the walk to a substream: the block loop ends
+    (without requiring BFINAL) once the cursor reaches it — used by the
+    encoder's online --self-check to replay one shard's substream, which
+    ends with a BFINAL=0 sync flush (models/codec.py).
+
+    Truncation is an error, never a hang: BitReader.peek zero-pads past the
+    end, and an all-zeros prefix can decode as a literal forever — so the
+    symbol loop raises E_TRUNC the moment the cursor passes the last real
+    bit (advisor r4 finding)."""
     from .inflate import _read_dynamic_tables, _FIXED_LL_LUT, _FIXED_D_LUT
 
     r = BitReader(body, bit_pos)
+    limit = 8 * len(body) if stop_at_bits is None else min(
+        stop_at_bits, 8 * len(body))
     ring = bytearray(_RING)
     wpos = 0                     # ring write cursor
     total = 0                    # bytes emitted so far
@@ -58,6 +71,8 @@ def replay_stream(body: bytes, bit_pos: int = 0):
         out.append(b)
 
     while True:
+        if stop_at_bits is not None and r.pos >= stop_at_bits:
+            break                      # substream replay: clean end, no BFINAL
         start = r.pos
         bfinal = r.read(1)
         btype = r.read(2)
@@ -81,6 +96,9 @@ def replay_stream(body: bytes, bit_pos: int = 0):
             else:
                 (ll_sym, ll_len), (d_sym, d_len) = _read_dynamic_tables(r)
             while True:
+                if r.pos >= limit:
+                    raise DeflateError(
+                        "E_TRUNC", f"stream truncated mid-block at bit {r.pos}")
                 idx = r.peek(15)
                 cl = ll_len[idx]
                 if cl == 0:

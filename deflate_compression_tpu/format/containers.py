@@ -26,16 +26,37 @@ def zlib_header(window_size: int = C.WINDOW_SIZE, level_hint: int = 2) -> bytes:
     return bytes([cmf, flg])
 
 
+def zlib_footer(adler: int) -> bytes:
+    return (int(adler) & 0xFFFFFFFF).to_bytes(4, "big")
+
+
 def zlib_wrap(deflate_stream: bytes, adler: int) -> bytes:
-    return zlib_header() + deflate_stream + int(adler).to_bytes(4, "big")
+    return zlib_header() + deflate_stream + zlib_footer(adler)
+
+
+def gzip_header() -> bytes:
+    """Minimal gzip member header: magic, CM=8, no flags, zero mtime,
+    XFL=0, OS=255."""
+    return C.GZIP_MAGIC + bytes([8, 0, 0, 0, 0, 0, 0, 255])
+
+
+def gzip_footer(crc: int, isize: int) -> bytes:
+    return (int(crc) & 0xFFFFFFFF).to_bytes(4, "little") + \
+        (isize & 0xFFFFFFFF).to_bytes(4, "little")
 
 
 def gzip_wrap(deflate_stream: bytes, crc: int, isize: int) -> bytes:
-    """Minimal gzip member: magic, CM=8, no flags, zero mtime, XFL=0, OS=255."""
-    hdr = C.GZIP_MAGIC + bytes([8, 0, 0, 0, 0, 0, 0, 255])
-    ftr = (int(crc) & 0xFFFFFFFF).to_bytes(4, "little") + \
-          (isize & 0xFFFFFFFF).to_bytes(4, "little")
-    return hdr + deflate_stream + ftr
+    return gzip_header() + deflate_stream + gzip_footer(crc, isize)
+
+
+def container_header(container: str) -> bytes:
+    if container == "zlib":
+        return zlib_header()
+    if container == "gzip":
+        return gzip_header()
+    if container == "raw":
+        return b""
+    raise ValueError(f"unknown container {container!r}")
 
 
 def gzip_parse_header(data: bytes) -> int:

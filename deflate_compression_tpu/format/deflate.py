@@ -199,7 +199,8 @@ def _tree_rle(comb: jnp.ndarray, total: jnp.ndarray):
 def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
                  final: jnp.ndarray, num_candidates: int = 32,
                  lazy: bool = True, adaptive_blocks: bool = True,
-                 max_merge: int = 8, force_btype: int | None = None):
+                 max_merge: int = 8, force_btype: int | None = None,
+                 _test_stride: int | None = None):
     """Encode one shard into a DEFLATE bitstream (jit-friendly, fixed shape).
 
     Args:
@@ -630,6 +631,8 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
                      total_repeat_length=S)      # huff tokens before own block
     first_in_blk = tok_h & (cs == csb)
     stride = jnp.maximum((n_tok_h + NSUB - NB - 1) // (NSUB - NB), 1)
+    if _test_stride is not None:       # test seam: force sub_overflow to fire
+        stride = jnp.int32(_test_stride)
     sel = tok_h & ((cs % stride == 0) | first_in_blk)
     sel_rank = jnp.cumsum(sel.astype(jnp.int32)) - sel.astype(jnp.int32)
     # overflow (unreachable with the stride arithmetic above) DROPS the
@@ -671,12 +674,13 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("num_candidates", "lazy",
                                              "adaptive_blocks", "max_merge",
-                                             "force_btype"))
+                                             "force_btype", "_test_stride"))
 def encode_shard_jit(data, valid_len, final, num_candidates: int = 32,
                      lazy: bool = True, adaptive_blocks: bool = True,
-                     max_merge: int = 8, force_btype: int | None = None):
+                     max_merge: int = 8, force_btype: int | None = None,
+                     _test_stride: int | None = None):
     return encode_shard(data, valid_len, final, num_candidates, lazy,
-                        adaptive_blocks, max_merge, force_btype)
+                        adaptive_blocks, max_merge, force_btype, _test_stride)
 
 
 def deflate_compress_bytes(raw: bytes, shard_size: int = 1 << 20,

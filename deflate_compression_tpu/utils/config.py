@@ -28,6 +28,10 @@ class CodecConfig:
     block_type: str = "auto"
     # verify checksums on decode
     verify_checksums: bool = True
+    # online encode verification: ring-replay each shard's emitted tokens
+    # (the reference's check_lld interleaving, tests/check_lld.c:41-66)
+    # before its bytes are committed to output
+    self_check: bool = False
 
     def __post_init__(self):
         if self.shard_size % BLOCK_SIZE or self.shard_size <= 0:

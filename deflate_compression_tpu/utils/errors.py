@@ -34,7 +34,8 @@ class DeflateError(CodecError):
     domain = DOMAIN_DEFLATE
     _names = {n: i for i, n in enumerate([
         "E_HDR", "E_FDICT", "E_BTYPE", "E_STORED", "E_TREE", "E_BADCODE",
-        "E_SYM", "E_DIST", "E_SIZE", "E_ADLER", "E_TRUNC",
+        "E_SYM", "E_DIST", "E_SIZE", "E_ADLER", "E_TRUNC", "E_INDEX",
+        "E_SELFCHECK",
     ])}
 
 
