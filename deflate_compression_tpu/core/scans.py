@@ -42,3 +42,18 @@ def cummin(x: jnp.ndarray) -> jnp.ndarray:
 
 def cumsum(x: jnp.ndarray) -> jnp.ndarray:
     return _blocked(x, jnp.cumsum, lambda a, b: a + b, np.int64(0))
+
+
+def cummax_rows(x: jnp.ndarray) -> jnp.ndarray:
+    """Row-wise cummax of a 2-D array along axis 1 (each row independent),
+    same blocked two-level structure as the 1-D scans."""
+    B, S = x.shape
+    if S % _R or S <= _R:
+        return jax.lax.cummax(x, axis=1)
+    info = jnp.iinfo(x.dtype)
+    rows = x.reshape(B, S // _R, _R)
+    within = jax.lax.cummax(rows, axis=2)
+    carry = jax.lax.cummax(within[:, :, -1], axis=1)
+    prev = jnp.concatenate(
+        [jnp.full((B, 1), info.min, x.dtype), carry[:, :-1]], axis=1)
+    return jnp.maximum(within, prev[:, :, None]).reshape(B, S)

@@ -4,19 +4,21 @@ Huffman decoding is bit-serial, so a TPU-native decoder restructures it
 (SURVEY §7.3 item 4; PAPERS.md "Massively-Parallel Lossless Data
 Decompression" / rapidgzip):
 
-  Phase A — per-block header parse + canonical table construction,
-    vectorized ACROSS blocks: a short masked loop over RLE symbols, then a
-    per-block flat decode LUT (raw 15-bit LSB-first peek -> (symbol index,
-    code length)) built with pure elementwise math — the bit reversal and
-    the 15 length candidates are folded in at build time, so the symbol
-    loop needs neither a bit-reverse nor a length search.
-  Phase B — symbol decode, lanes = SUB-BLOCK entry points (the encoder
-    emits a (bit, out) checkpoint every SUB_SIZE output bytes inside each
-    block — free, because it knows every token's bit offset): one
-    `while_loop` whose body decodes one symbol in EVERY live lane
-    simultaneously; a lane stops when its output cursor reaches the next
-    entry, so EOB is only ever *written*, never required. More lanes, fewer
-    steps: the step count is tokens-per-sub-block, not tokens-per-block.
+  Phase A — per-block header parse + canonical PER-SYMBOL decode tables,
+    vectorized ACROSS blocks: a short masked loop over RLE symbols, then
+    per-symbol (reversed code, mask, payload) triples (_sym_tables) from
+    the RFC 1951 §3.2.2 counting rule — pure elementwise math, no LUTs.
+  Phase B — symbol decode, lanes = token-uniform SUB-BLOCK entry points
+    (the encoder emits a (bit, out) checkpoint every `stride` tokens —
+    free, because it knows every token's bit offset): lanes are regrouped
+    into padded per-block GROUPS of Lg so each group shares one table row,
+    then one `while_loop` whose body fetches ONE 128-bit peek row per lane
+    and decodes up to KSYM symbols from it; each Huffman code resolves by
+    a fused dense compare over the SYMBOL axis (288/32 entries —
+    tools/probe_onehot measured ~3.7x the descriptor-bound LUT gather),
+    so the loop's only per-symbol descriptor traffic is the token scatter.
+    A lane stops when its output cursor reaches the next entry, so EOB is
+    only ever *written*, never required.
   Phase C — LZ copy resolution: overlapping copies collapse analytically
     (a match at start s, dist d pulls byte j from s - d + ((j-s) mod d) —
     the reference's byte-serial back-copy src/deflate_decompress.c:47-57
@@ -54,26 +56,6 @@ _N_LL = 288                      # decode-side litlen alphabet (286/287 bad)
 _N_D = 32                        # decode-side dist alphabet (30/31 bad)
 
 
-def _rev_table(bits: int) -> np.ndarray:
-    p = np.arange(1 << bits, dtype=np.uint32)
-    r = np.zeros_like(p)
-    for i in range(bits):
-        r |= ((p >> i) & 1) << (bits - 1 - i)
-    return r
-
-
-_REV_CACHE = {}
-
-
-def _rev_np(bits: int) -> np.ndarray:
-    if bits not in _REV_CACHE:
-        _REV_CACHE[bits] = _rev_table(bits)
-    return _REV_CACHE[bits]
-
-
-_REV15 = _rev_np(15)
-_REV7 = _rev_np(7)
-
 # fixed trees, full decode-side alphabets (RFC 1951 §3.2.6: lengths are
 # DEFINED for 286/287 and dist codes 30/31 — they shape the canonical
 # counts even though the symbols themselves must never occur)
@@ -83,6 +65,26 @@ _FIXED_D_LEN_FULL = np.zeros(_N_D, np.int32)
 _FIXED_D_LEN_FULL[:len(C.FIXED_DIST_LENGTHS)] = C.FIXED_DIST_LENGTHS
 if len(C.FIXED_DIST_LENGTHS) < _N_D:
     _FIXED_D_LEN_FULL[len(C.FIXED_DIST_LENGTHS):] = 5
+
+# Static per-symbol payloads (host constants, independent of code lengths).
+# litlen entry: val(9: literal byte or len_base) | leb(3)<<9 | kind(2)<<12
+#   (0=lit, 1=eob, 2=len, 3=bad), code length rides at bit 14.
+# dist entry: dbase(15) | deb(4)<<15 | bad(1)<<19, code length at bit 20.
+_ls = np.arange(_N_LL)
+_lkind = np.where(_ls < 256, 0,
+                  np.where(_ls == 256, 1, np.where(_ls < 286, 2, 3)))
+_lli = np.clip(_ls - 257, 0, 28)
+_lval = np.where(_lkind == 0, _ls,
+                 np.where(_lkind == 2, np.asarray(C.LENGTH_BASE)[_lli], 0))
+_leb = np.where(_lkind == 2, np.asarray(C.LENGTH_EXTRA)[_lli], 0)
+_LL_PAY_STATIC = (_lval | (_leb << 9) | (_lkind << 12)).astype(np.int32)
+_ds = np.arange(_N_D)
+_dsi = np.clip(_ds, 0, 29)
+_dbad = (_ds >= 30).astype(np.int64)
+_D_PAY_STATIC = (np.where(_dbad == 0, np.asarray(C.DIST_BASE)[_dsi], 0)
+                 | (np.where(_dbad == 0, np.asarray(C.DIST_EXTRA)[_dsi], 0)
+                    << 15)
+                 | (_dbad << 19)).astype(np.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -116,40 +118,8 @@ def _peek64(words: jnp.ndarray, bit_pos: jnp.ndarray):
     return lo, hi
 
 
-def _halfwords(words: jnp.ndarray) -> jnp.ndarray:
-    """u32[W] -> u32[2W, 2] half-word-granularity PAIR table: row i holds
-    (bits [16i, 16i+32), bits [16i+32, 16i+64)). Built once, elementwise;
-    lets the symbol loop fetch a 64-bit window with ONE row gather
-    (descriptor cost is per row, not per element)."""
-    w = words.astype(jnp.uint32)
-    nxt = jnp.concatenate([w[1:], jnp.zeros((1,), jnp.uint32)])
-    nxt2 = jnp.concatenate([w[2:], jnp.zeros((2,), jnp.uint32)])
-    odd = (w >> np.uint32(16)) | (nxt << np.uint32(16))
-    odd2 = (nxt >> np.uint32(16)) | (nxt2 << np.uint32(16))
-    return jnp.stack([jnp.stack([w, nxt], axis=1),
-                      jnp.stack([odd, odd2], axis=1)],
-                     axis=1).reshape(-1, 2)
-
-
-def _peek48(hw: jnp.ndarray, bit_pos: jnp.ndarray):
-    """48-bit LSB-first window as (lo, hi) u32 pair from the half-word pair
-    table (ONE row gather; hi carries >= 16 valid bits, enough for any
-    DEFLATE token tail: cl+leb+dcl+deb <= 48)."""
-    H = hw.shape[0]
-    i = jnp.clip(bit_pos >> 4, 0, H - 1)
-    sh = (bit_pos & 15).astype(jnp.uint32)
-    row = hw[i]                                   # (..., 2)
-    a = row[..., 0]
-    b = row[..., 1]
-    lo = (a >> sh) | jnp.where(sh > 0,
-                               b << ((np.uint32(32) - sh) & np.uint32(31)),
-                               np.uint32(0))
-    hi = b >> sh
-    return lo, hi
-
-
-def _extract(lo: jnp.ndarray, hi: jnp.ndarray, off: jnp.ndarray) -> jnp.ndarray:
-    """32-bit window at bit offset `off` in [0, 48] of the (lo, hi) pair."""
+def _extract2(lo: jnp.ndarray, hi: jnp.ndarray, off: jnp.ndarray) -> jnp.ndarray:
+    """32-bit window at bit offset `off` in [0, 48] of a (lo, hi) u32 pair."""
     o = off.astype(jnp.uint32)
     ol = o & np.uint32(31)
     below = (lo >> ol) | jnp.where(ol > 0,
@@ -159,65 +129,136 @@ def _extract(lo: jnp.ndarray, hi: jnp.ndarray, off: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(o < 32, below, above)
 
 
+_NWIN = 6                # peek-row width in u32 words (192 bits)
+
+
+def _winwords(words: jnp.ndarray) -> jnp.ndarray:
+    """u32[W] -> u32[2W, _NWIN] half-word-granularity row table: row i holds
+    bits [16i, 16i + 32*_NWIN) as LSB-first words. Built once, elementwise;
+    the symbol loop fetches a whole window with ONE row gather — row-gather
+    cost is per ROW, not per element (tools/probe_onehot: 4-wide rows cost
+    the same as 2-wide), and the >= 32*_NWIN-15 valid bits cover a RUN of
+    tokens (any single token needs <= 48 bits: cl+leb+dcl+deb)."""
+    w = words.astype(jnp.uint32)
+
+    def sh(k):          # w shifted k words (tail zero-filled)
+        return jnp.concatenate([w[k:], jnp.zeros((k,), jnp.uint32)])
+    even = [sh(k) for k in range(_NWIN)]                  # rows at bit 32k
+    odd = [(even[k] >> np.uint32(16)) | (sh(k + 1) << np.uint32(16))
+           for k in range(_NWIN)]
+    return jnp.stack([jnp.stack(even, axis=1),
+                      jnp.stack(odd, axis=1)], axis=1).reshape(-1, _NWIN)
+
+
+def _peekwin(hw: jnp.ndarray, bit_pos: jnp.ndarray):
+    """>= 32*_NWIN-15 valid LSB-first bits as _NWIN u32 (ONE row gather)."""
+    H = hw.shape[0]
+    i = jnp.clip(bit_pos >> 4, 0, H - 1)
+    sh = (bit_pos & 15).astype(jnp.uint32)
+    row = hw[i]                                   # (..., _NWIN)
+    up = (np.uint32(32) - sh) & np.uint32(31)
+    nz = sh > 0
+    vs = []
+    for k in range(_NWIN):
+        lo = row[..., k] >> sh
+        if k + 1 < _NWIN:
+            lo = lo | jnp.where(nz, row[..., k + 1] << up, np.uint32(0))
+        vs.append(lo)
+    return tuple(vs)
+
+
+def _extractw(win, off: jnp.ndarray) -> jnp.ndarray:
+    """Bit window at offset `off` in [0, 32*_NWIN-1] of the word window
+    (bits past the last word read as zero — callers bound consumption)."""
+    o = off.astype(jnp.uint32)
+    ol = o & np.uint32(31)
+    up = (np.uint32(32) - ol) & np.uint32(31)
+    nz = ol > 0
+
+    def ext(lo, hi):
+        return (lo >> ol) | jnp.where(nz, hi << up, np.uint32(0))
+    w = o >> np.uint32(5)
+    res = win[-1] >> ol
+    for k in range(_NWIN - 2, -1, -1):
+        res = jnp.where(w == k, ext(win[k], win[k + 1]), res)
+    return res
+
+
 def _mask(nb: jnp.ndarray) -> jnp.ndarray:
     """(1 << nb) - 1 for nb in [0, 16]."""
     return (np.uint32(1) << nb.astype(jnp.uint32)) - np.uint32(1)
 
 
 # ---------------------------------------------------------------------------
-# canonical decode tables + flat LUT
+# canonical per-symbol decode tables (dense compare — no LUTs, no gathers)
 # ---------------------------------------------------------------------------
 
-def _canon_tables(lengths: jnp.ndarray, n: int, max_bits: int):
-    """From code lengths (NB, n) build count-based decode tables first[l],
-    limit[l], base[l] (NB, max_bits+1), the (len,sym)-sorted symbol list
-    (NB, n), and the Kraft sum (oversubscription check). Mirrors form_h_tree
-    (src/deflate_decompress.c:146-161) as pure vector math."""
+def _canon_first(lengths: jnp.ndarray, max_bits: int):
+    """From code lengths (NB, n): first-code-per-length table
+    (NB, max_bits+1) and the Kraft oversubscription flag. Mirrors
+    form_h_tree's binary counting (src/deflate_decompress.c:146-161) as
+    pure vector math."""
     NB = lengths.shape[0]
     lvl = jnp.arange(max_bits + 1)
     count = jnp.sum((lengths[:, :, None] == lvl[None, None, :])
                     & (lengths[:, :, None] > 0), axis=1).astype(jnp.int32)
-
     firsts = [jnp.zeros((NB,), jnp.int32)]
     code = jnp.zeros((NB,), jnp.int32)
     for l in range(1, max_bits + 1):
         code = (code + count[:, l - 1]) << 1
         firsts.append(code)
     first = jnp.stack(firsts, axis=1)                    # (NB, max_bits+1)
-    limit = first + count
-    base = jnp.cumsum(count, axis=1) - count             # symbols before l
-
-    key = jnp.where(lengths > 0, lengths, max_bits + 1) * (2 * n) \
-        + jnp.arange(n)[None, :]
-    order = jnp.argsort(key, axis=1).astype(jnp.int32)   # (NB, n)
     kraft = jnp.sum(count[:, 1:] << (max_bits - lvl[1:])[None, :], axis=1)
     over = kraft > (1 << max_bits)
-    return first, limit, base, order, over
+    return first, over
 
 
-def _build_lut(first, limit, base, max_bits: int, rev_np: np.ndarray):
-    """(NB, 2^max_bits) rank/length decode tables over the RAW LSB-first
-    peek value. Returns (rank, code_len), code_len 0 => invalid prefix.
-    Pure elementwise build (the bit reversal and all length candidates are
-    host constants) — no gathers."""
-    found = jnp.zeros((first.shape[0], 1 << max_bits), jnp.int32)
-    idx = jnp.zeros_like(found)
+def _sym_tables(lengths: jnp.ndarray, first: jnp.ndarray, max_bits: int,
+                pay_static, cl_shift: int):
+    """Per-SYMBOL decode tables for the dense prefix compare:
+      rcode[b,s] — bit-REVERSED canonical code (compares directly against
+                   the raw LSB-first peek), -1 where the symbol is absent;
+      mask[b,s]  — (1 << len) - 1;
+      pay[b,s]   — pay_static[s] | (len << cl_shift), 0 where absent.
+    The canonical code is first[len] + rank-within-length (RFC 1951
+    §3.2.2), computed with max_bits elementwise passes — no sorts, no
+    gathers. Replaces the (NB, 2^lut_bits) flat LUT entirely: the symbol
+    loop resolves a code by a fused compare-select-reduce over the SYMBOL
+    axis (288/32/19 — far smaller than any peek space), which measured
+    ~3.7x faster than the descriptor-bound LUT gather (tools/probe_onehot)
+    and is width-independent, so 15-bit foreign streams ride the same path.
+    """
+    NB, n = lengths.shape
+    rank = jnp.zeros((NB, n), jnp.int32)
+    first_s = jnp.zeros((NB, n), jnp.int32)
     for l in range(1, max_bits + 1):
-        c = jnp.asarray((rev_np >> (max_bits - l)).astype(np.int32))[None, :]
-        hit = (c >= first[:, l:l + 1]) & (c < limit[:, l:l + 1]) & (found == 0)
-        found = jnp.where(hit, l, found)
-        idx = jnp.where(hit, base[:, l:l + 1] + c - first[:, l:l + 1], idx)
-    return idx, found
+        is_l = lengths == l
+        il = is_l.astype(jnp.int32)
+        ex = jnp.cumsum(il, axis=1) - il                 # exclusive count
+        rank = jnp.where(is_l, ex, rank)
+        first_s = jnp.where(is_l, first[:, l:l + 1], first_s)
+    code = (first_s + rank).astype(jnp.uint32)
+    from ..core.bits import reverse_bits
+    rcode = reverse_bits(code, lengths).astype(jnp.int32)
+    present = lengths > 0
+    rcode = jnp.where(present, rcode, -1)
+    mask = jnp.where(present, (1 << lengths) - 1, 0)
+    pay = jnp.where(present,
+                    jnp.asarray(pay_static, jnp.int32)[None, :]
+                    | (lengths << cl_shift), 0)
+    return rcode, mask, pay
 
 
-def _merge_lut(rank, cl, pay, cl_shift: int):
-    """Fold the per-rank payload table INTO the peek LUT so the symbol loop
-    needs ONE gather per alphabet instead of rank-LUT + payload: entry =
-    pay[rank] | (code_len << cl_shift). One small (NB, 2^lut_bits)
-    take_along_axis at table-build time (runs once per decode dispatch)
-    kills a per-SYMBOL gather — the classic zlib-ng direct-entry table,
-    rebuilt here as batched vector math."""
-    return jnp.take_along_axis(pay, rank, axis=1) | (cl << cl_shift)
+def _dense_sym(pk: jnp.ndarray, rcode_g, mask_g, pay_g, Gn: int, Lg: int):
+    """Resolve one Huffman code per lane by dense prefix compare:
+    out[l] = pay of the unique symbol whose reversed code equals the low
+    len bits of pk[l]; 0 => invalid prefix. Lanes are grouped (Gn, Lg) so a
+    group shares one table row (broadcast, XLA fuses compare+select+reduce
+    into a single VPU pass — no HBM-materialized one-hot)."""
+    p = pk.astype(jnp.int32).reshape(Gn, Lg)[:, :, None]
+    hit = (p & mask_g[:, None, :]) == rcode_g[:, None, :]
+    return jnp.sum(jnp.where(hit, pay_g[:, None, :], 0),
+                   axis=2).reshape(-1)
 
 
 # ---------------------------------------------------------------------------
@@ -244,7 +285,8 @@ def decode_blocks(comp_words: jnp.ndarray,
                   blk_end: jnp.ndarray | None = None,
                   _ablate: str = ""):
     # _ablate: PROFILING ONLY — comma list of stages to stub out (wrong
-    # output, same shapes): "lut", "canon", "slices", "toksc", "hw".
+    # output, same shapes): "lut"/"canon" (symbol tables), "slices",
+    # "toksc", "hw", "scans".
     """Decode a DEFLATE substream given its block index + sub-entries.
 
     Args:
@@ -264,16 +306,17 @@ def decode_blocks(comp_words: jnp.ndarray,
         [0, prefix_len) so match distances may reach into the previous
         decode group (caller shifts all out offsets by prefix_len).
 
-      lut_bits: static decode-LUT width. 15 decodes any RFC stream; 11
-        suffices for THIS framework's encoder (format/deflate.TREE_LIMIT)
-        and cuts the per-block LUT build 16x. A code longer than lut_bits
-        flags the lane bad (strict), never decodes wrong.
+      lut_bits: accepted for API compatibility, UNUSED since round 5 — the
+        dense symbol-space decode (_sym_tables/_dense_sym) has no LUT and
+        handles any RFC code length (15-bit foreign streams included) on
+        the single code path.
       max_dist: declared sliding-window size — any match distance above it
         flags the lane bad (the reference bounds distances by the zlib
         header's CINFO window, src/deflate_decompress.c:360,278-279).
 
     Returns dict(out=u8[out_size], ok=bool, bad_lanes=bool[NL]).
     """
+    _abl = frozenset(_ablate.split(","))
     max_dist = jnp.asarray(max_dist, jnp.int32)
     NB = blk_bit.shape[0]
     NL = sub_bit.shape[0]
@@ -315,13 +358,13 @@ def decode_blocks(comp_words: jnp.ndarray,
         clen_lens = clen_lens.at[:, clen_order[j]].set(jnp.where(use, v, 0))
         bp = jnp.where(use, bp + 3, bp)
 
-    cl_first, cl_limit, cl_base, cl_order, cl_over = _canon_tables(
-        clen_lens, C.NUM_CLEN, C.MAX_CLEN_BITS)
+    cl_first, cl_over = _canon_first(clen_lens, C.MAX_CLEN_BITS)
     bbad = bbad | (is_dyn & cl_over)
-    cl_rank, cl_cl = _build_lut(cl_first, cl_limit, cl_base,
-                                C.MAX_CLEN_BITS, _REV7)
-    # merged entry: symbol (5 bits) | code_len << 5 — one gather per RLE step
-    cl_lut_f = _merge_lut(cl_rank, cl_cl, cl_order, 5).reshape(-1)
+    # per-symbol entry: symbol (5 bits) | code_len << 5 — dense compare over
+    # the 19-symbol clen alphabet per RLE step (no LUT, no gather)
+    cl_rc, cl_mk, cl_pay = _sym_tables(clen_lens, cl_first, C.MAX_CLEN_BITS,
+                                       np.arange(C.NUM_CLEN, dtype=np.int32),
+                                       5)
 
     # RLE loop over code-length symbols (masked, <= 316 effective steps)
     total_lens = hlit + hdist
@@ -337,9 +380,7 @@ def decode_blocks(comp_words: jnp.ndarray,
         bp, i, prev, lens, bad, steps = st
         act = is_dyn & (i < total_lens) & ~bad
         lo, hi = _peek64(comp_words, bp)
-        e = cl_lut_f[blanes * (1 << C.MAX_CLEN_BITS)
-                     + (lo & np.uint32((1 << C.MAX_CLEN_BITS) - 1)
-                        ).astype(jnp.int32)]
+        e = _dense_sym(lo, cl_rc, cl_mk, cl_pay, NB, 1)
         cl = e >> 5
         bad = bad | (act & (cl == 0))
         sym = e & 0x1F
@@ -348,7 +389,7 @@ def decode_blocks(comp_words: jnp.ndarray,
         is17 = sym == 17
         is18 = sym == 18
         eb = jnp.where(is16, 2, jnp.where(is17, 3, jnp.where(is18, 7, 0)))
-        ev = (_extract(lo, hi, cl) & _mask(eb)).astype(jnp.int32)
+        ev = (_extract2(lo, hi, cl) & _mask(eb)).astype(jnp.int32)
         rep = jnp.where(is_lit, 1,
                         jnp.where(is16 | is17, 3 + ev, 11 + ev))
         fill = jnp.where(is_lit, sym, jnp.where(is16, prev, 0))
@@ -390,78 +431,23 @@ def decode_blocks(comp_words: jnp.ndarray,
     d_lens = jnp.where(is_fix[:, None],
                        jnp.asarray(_FIXED_D_LEN_FULL)[None, :], d_lens)
 
-    if "canon" in _ablate:                               # profiling stub
-        z = jnp.zeros((NB, MAX_BITS + 1), jnp.int32)
-        ll_first = ll_limit = ll_base = z
-        d_first = d_limit = d_base = z
-        ll_order = jnp.zeros((NB, _N_LL), jnp.int32)
-        d_order = jnp.zeros((NB, _N_D), jnp.int32)
+    if "canon" in _abl or "lut" in _abl:           # profiling stubs
+        ll_rc = ll_mk = ll_pay = jnp.zeros((NB, _N_LL), jnp.int32)
+        d_rc = d_mk = d_pay = jnp.zeros((NB, _N_D), jnp.int32)
     else:
-        ll_first, ll_limit, ll_base, ll_order, ll_over = _canon_tables(
-            ll_lens, _N_LL, MAX_BITS)
-        d_first, d_limit, d_base, d_order, d_over = _canon_tables(
-            d_lens, _N_D, MAX_BITS)
+        ll_first, ll_over = _canon_first(ll_lens, MAX_BITS)
+        d_first, d_over = _canon_first(d_lens, MAX_BITS)
         bbad = bbad | (huff & (ll_over | d_over))
-
-    lsz = 1 << lut_bits
-    if "lut" in _ablate:                                 # profiling stub
-        ll_rank = ll_cl = jnp.zeros((NB, lsz), jnp.int32)
-        d_rank = d_cl = jnp.zeros((NB, lsz), jnp.int32)
-    else:
-        ll_rank, ll_cl = _build_lut(ll_first, ll_limit, ll_base, lut_bits,
-                                    _rev_np(lut_bits))
-        d_rank, d_cl = _build_lut(d_first, d_limit, d_base, lut_bits,
-                                  _rev_np(lut_bits))
-
-    # Rank -> payload tables (tiny NB×288 math), then folded INTO the peek
-    # LUTs (_merge_lut) so the symbol loop needs exactly ONE gather per
-    # alphabet. Merged litlen entry layout:
-    #   val(9: literal byte or len_base) | leb(3)<<9 | kind(2)<<12
-    #   (0=lit, 1=eob, 2=len, 3=bad) | cl(4)<<14  — cl 0 => invalid prefix
-    #   | val2(8)<<18 | cl2(4)<<26 | pair(1)<<30  — two-literal fast entry
-    # Merged dist entry: dbase(15) | deb(4)<<15 | bad(1)<<19 | dcl(4)<<20.
-    len_base = jnp.asarray(C.LENGTH_BASE)
-    len_extra = jnp.asarray(C.LENGTH_EXTRA)
-    lsym = ll_order                                     # (NB, 288)
-    li_t = jnp.clip(lsym - 257, 0, 28)
-    l_kind = jnp.where(lsym < 256, 0,
-                       jnp.where(lsym == C.EOB, 1,
-                                 jnp.where(lsym < 286, 2, 3)))
-    l_val = jnp.where(l_kind == 0, lsym,
-                      jnp.where(l_kind == 2, len_base[li_t], 0))
-    l_eb = jnp.where(l_kind == 2, len_extra[li_t], 0)
-    ll_pay = l_val | (l_eb << 9) | (l_kind << 12)
-    ll_ent = _merge_lut(ll_rank, ll_cl, ll_pay, 14)     # (NB, lsz)
-
-    # Two-literal entries (when both codes fit in one lut_bits peek, ONE
-    # loop step decodes BOTH): the continuation entry at peek >> cl1 is
-    # trustworthy iff its code length fits the remaining peeked bits.
-    pk = jnp.arange(lsz, dtype=jnp.int32)[None, :]
-    cl1 = jnp.clip(ll_ent >> 14, 0, lut_bits)           # avoid >>32 UB paths
-    e2 = jnp.take_along_axis(ll_ent, pk >> cl1, axis=1)
-    cl2 = (e2 >> 14) & 0xF
-    pair_ok = (((ll_ent >> 12) & 3) == 0) & (((ll_ent >> 14) & 0xF) > 0) \
-        & (((e2 >> 12) & 3) == 0) & (cl2 > 0) \
-        & (((ll_ent >> 14) & 0xF) + cl2 <= lut_bits)
-    ll_ent = ll_ent | jnp.where(
-        pair_ok, ((e2 & 0xFF) << 18) | (cl2 << 26) | (1 << 30), 0)
-    ll_lut_f = ll_ent.reshape(-1)
-
-    dist_base = jnp.asarray(C.DIST_BASE)
-    dist_extra = jnp.asarray(C.DIST_EXTRA)
-    dsym_t = d_order                                    # (NB, 32)
-    di_t = jnp.clip(dsym_t, 0, 29)
-    d_bad_t = (dsym_t >= 30).astype(jnp.int32)
-    d_pay = (jnp.where(d_bad_t == 0, dist_base[di_t], 0)
-             | (jnp.where(d_bad_t == 0, dist_extra[di_t], 0) << 15)
-             | (d_bad_t << 19))
-    d_lut_f = _merge_lut(d_rank, d_cl, d_pay, 20).reshape(-1)
+        ll_rc, ll_mk, ll_pay = _sym_tables(ll_lens, ll_first, MAX_BITS,
+                                           _LL_PAY_STATIC, 14)
+        d_rc, d_mk, d_pay = _sym_tables(d_lens, d_first, MAX_BITS,
+                                        _D_PAY_STATIC, 20)
 
     # -------------------------------------------- phase B: sub-entry lanes
-    if "hw" in _ablate:                                  # profiling stub
-        hw = jnp.zeros((2 * CW, 2), jnp.uint32)
+    if "hw" in _abl:                                  # profiling stub
+        hw4 = jnp.zeros((2 * CW, _NWIN), jnp.uint32)
     else:
-        hw = _halfwords(comp_words)
+        hw4 = _winwords(comp_words)
 
     llanes = jnp.arange(NL, dtype=jnp.int32)
     lblk = jnp.clip(sub_blk, 0, NB - 1)
@@ -470,74 +456,101 @@ def decode_blocks(comp_words: jnp.ndarray,
                          sub_out[jnp.clip(llanes + 1, 0, NL - 1)],
                          jnp.int32(1 << 30))
     lane_end = jnp.minimum(next_sub, blk_end[lblk])
-    lbad0 = llive & bbad[lblk]
+    lbad_init = llive & bbad[lblk]
+    bp_init = jnp.where(sub_bit >= 0, sub_bit, bp[lblk])
 
-    bp0 = jnp.where(sub_bit >= 0, sub_bit, bp[lblk])
-    ocur0 = sub_out
-    done0 = ~llive | (ocur0 >= lane_end)
+    # ---- padded per-block lane GROUPS: the dense symbol lookup needs every
+    # group of Lg lanes to share one table row. Lanes arrive sorted so each
+    # block's live lanes are contiguous; scatter them into a layout where
+    # each block's lanes start at a Lg-aligned base (padding slots are dead
+    # lanes). Device-side and format-independent — foreign-stream indexes
+    # get the same treatment.
+    Lg = 64
+    live_i = llive.astype(jnp.int32)
+    scat_b = jnp.where(llive, lblk, NB)
+    cnt_b = jnp.zeros((NB + 1,), jnp.int32).at[scat_b].add(1)[:NB]
+    padded_b = ((cnt_b + Lg - 1) // Lg) * Lg
+    base_b = jnp.cumsum(padded_b) - padded_b
+    NLP = ((NL + NB * Lg + Lg - 1) // Lg) * Lg          # static capacity
+    Gn = NLP // Lg
+    g_rank = jnp.cumsum(live_i) - live_i                # live rank (global)
+    first_rank_b = jnp.full((NB + 1,), 1 << 30, jnp.int32).at[
+        scat_b].min(g_rank)[:NB]
+    pslot = jnp.where(llive,
+                      base_b[lblk] + (g_rank - first_rank_b[lblk]), NLP)
+
+    lane_state = jnp.stack([bp_init, sub_out, lane_end, lblk,
+                            lbad_init.astype(jnp.int32)], axis=1)
+    pad = jnp.zeros((NLP + 1, 5), jnp.int32).at[:, 3].set(-1).at[
+        pslot].set(lane_state, mode="drop")[:NLP]
+    bp0 = pad[:, 0]
+    ocur0 = pad[:, 1]
+    plane_end = pad[:, 2]
+    plblk = pad[:, 3]
+    plive = plblk >= 0
+    lbad0 = plive & (pad[:, 4] == 1)
+    done0 = ~plive | (ocur0 >= plane_end)
+
+    # per-GROUP tables: small row gathers (Gn rows) once per dispatch
+    gb = jnp.clip(jnp.max(plblk.reshape(Gn, Lg), axis=1), 0, NB - 1)
+    ll_rc_g, ll_mk_g, ll_pay_g = ll_rc[gb], ll_mk[gb], ll_pay[gb]
+    d_rc_g, d_mk_g, d_pay_g = d_rc[gb], d_mk[gb], d_pay[gb]
 
     tok0 = jnp.zeros((S + 1,), jnp.int32)
 
-    def one_sym(bp, ocur, done, lbad):
-        """Decode one symbol (or one two-literal pair) in every live lane:
-        3 descriptor ops (1-row-gather peek48, 1 merged-LUT gather per
-        alphabet) + 1/UNROLL of the batched token scatter."""
-        act = ~done & ~lbad
-        lo, hi = _peek48(hw, bp)
-        e = ll_lut_f[lblk * lsz + (lo & np.uint32(lsz - 1)
-                                   ).astype(jnp.int32)]
+    def one_sym_at(win, off, can, ocur, done, lbad):
+        """Decode one symbol per lane from the shared 128-bit window at
+        local bit offset `off`: ZERO gathers — the Huffman code resolves by
+        dense symbol-space compare (_dense_sym), extra bits by _extract4."""
+        act = can & ~done & ~lbad
+        pk = _extractw(win, off)
+        e = _dense_sym(pk, ll_rc_g, ll_mk_g, ll_pay_g, Gn, Lg)
         cl = (e >> 14) & 0xF
-        lbad = lbad | (act & (cl == 0))
+        lbad = lbad | (act & (cl == 0))                  # invalid prefix
         kind = (e >> 12) & 3                             # 0 lit/1 eob/2 len/3 bad
         is_lit = kind == 0
         is_eob = kind == 1
         is_len = kind == 2
         lbad = lbad | (act & (kind == 3))                # RFC: never occurs
-        # two-literal fast entry, demoted to single at the lane boundary
-        # (the second literal is the NEXT lane's first token there)
-        use_pair = ((e >> 30) & 1 == 1) & (ocur + 2 <= lane_end)
-        cl2 = jnp.where(use_pair, (e >> 26) & 0xF, 0)
-
         leb = (e >> 9) & 0x7
-        lev = (_extract(lo, hi, cl) & _mask(leb)).astype(jnp.int32)
+        lev = (_extractw(win, off + cl) & _mask(leb)).astype(jnp.int32)
         mlen = (e & 0x1FF) + lev
-        off2 = cl + jnp.where(is_len, leb, 0)
-
-        de = d_lut_f[lblk * lsz
-                     + (_extract(lo, hi, off2)
-                        & np.uint32(lsz - 1)).astype(jnp.int32)]
+        off2 = off + cl + jnp.where(is_len, leb, 0)
+        de = _dense_sym(_extractw(win, off2), d_rc_g, d_mk_g, d_pay_g,
+                        Gn, Lg)
         dcl = (de >> 20) & 0xF
         lbad = lbad | (act & is_len & ((dcl == 0) | ((de >> 19) & 1 != 0)))
         deb = (de >> 15) & 0xF
         off3 = off2 + dcl
-        dev = (_extract(lo, hi, off3) & _mask(deb)).astype(jnp.int32)
+        dev = (_extractw(win, off3) & _mask(deb)).astype(jnp.int32)
         mdist = (de & 0x7FFF) + dev
         lbad = lbad | (act & is_len & (mdist > max_dist))  # declared window
 
         emit = act & (is_lit | is_len)
-        adv = jnp.where(is_len, mlen, jnp.where(use_pair, 2, 1))
+        adv = jnp.where(is_len, mlen, 1)
         pack = (jnp.where(is_lit, e & 0x1FF, mlen)
-                | (jnp.where(is_len, mdist,
-                             jnp.where(use_pair, (e >> 18) & 0xFF, 0)) << 9)
+                | (jnp.where(is_len, mdist, 0) << 9)
                 | (1 << 25)
-                | (jnp.where(is_len, 1, 0) << 26)
-                | (jnp.where(use_pair, 1, 0) << 27))
+                | (jnp.where(is_len, 1, 0) << 26))
         # non-emitting lanes park at sink row S (garbage there is sliced
-        # off); the scatter itself is BATCHED across the unrolled symbols
-        # in dec_body (one descriptor op per UNROLL symbols, not per
-        # symbol — slots within an unroll window are distinct per lane
-        # since ocur strictly advances on emit)
-        slot = jnp.where(emit, jnp.clip(ocur, 0, S), S)
+        # off); the scatter is BATCHED across the KSYM window symbols in
+        # dec_body (slots within a window are distinct per lane since ocur
+        # strictly advances on emit)
+        slot = jnp.where(emit, jnp.clip(ocur, 0, S), S + 1)
         ocur2 = jnp.where(emit, ocur + adv, ocur)
-        lbad = lbad | (act & (ocur2 > lane_end))         # token overran lane
+        lbad = lbad | (act & (ocur2 > plane_end))        # token overran lane
         lbad = lbad | (act & is_eob)                     # EOB before lane end
-        done = done | (act & (ocur2 >= lane_end) & ~lbad)
-        bp2 = bp + cl + cl2 + jnp.where(is_len, leb + dcl + deb, 0)
-        lbad = lbad | (act & (bp2 > bit_budget))
-        bp = jnp.where(act, bp2, bp)
-        return bp, ocur2, done, lbad, slot, pack
+        done = done | (act & (ocur2 >= plane_end) & ~lbad)
+        consumed = jnp.where(
+            act, cl + jnp.where(is_len, leb + dcl + deb, 0), 0)
+        return consumed, ocur2, done, lbad, slot, pack
 
-    UNROLL = 8
+    # One 192-bit row gather feeds up to KSYM symbols: >= 177 bits are
+    # valid, a token consumes <= 48 (15+5+15+13), so a lane keeps decoding
+    # while its window offset is <= 128. Typical tokens are ~9-12 bits ->
+    # ~10+ symbols per row; worst-case lanes still make >= 2.
+    KSYM = 10
+    _WSAFE = 128
     max_steps = S + 64
 
     def dec_cond(st):
@@ -546,19 +559,29 @@ def decode_blocks(comp_words: jnp.ndarray,
 
     def dec_body(st):
         bp, ocur, done, lbad, tok, steps = st
+        act0 = ~done & ~lbad
+        win = _peekwin(hw4, bp)
+        off = jnp.zeros((NLP,), jnp.int32)
         slots, packs = [], []
-        for _ in range(UNROLL):                  # amortize loop overhead
-            bp, ocur, done, lbad, slot, pack = one_sym(bp, ocur, done, lbad)
+        for _ in range(KSYM):
+            can = off <= _WSAFE
+            consumed, ocur, done, lbad, slot, pack = one_sym_at(
+                win, off, can, ocur, done, lbad)
+            off = off + consumed
             slots.append(slot)
             packs.append(pack)
-        # ONE batched scatter for all UNROLL symbols (distinct slots per
-        # lane; sink-row collisions are sliced off)
         tok = tok.at[jnp.stack(slots)].set(jnp.stack(packs), mode="drop")
-        return bp, ocur, done, lbad, tok, steps + UNROLL
+        bp = bp + off
+        lbad = lbad | (act0 & (bp > bit_budget))         # ran off the stream
+        return bp, ocur, done, lbad, tok, steps + KSYM
 
     st = (bp0, ocur0, done0, lbad0, tok0, jnp.int32(0))
     _, ocur, done, lbad, tok, _ = jax.lax.while_loop(dec_cond, dec_body, st)
-    lbad = lbad | (llive & ~done)                        # unconverged lanes
+
+    # map padded-lane status back to the caller's lane order (one gather)
+    stat = lbad.astype(jnp.int32) * 2 + done.astype(jnp.int32)
+    stat_l = stat[jnp.clip(pslot, 0, NLP - 1)]
+    lbad = llive & ((stat_l >= 2) | ((stat_l & 1) == 0))  # bad or unconverged
 
     # ------------------------------------------ phase C: output construction
     j_idx = jnp.arange(S, dtype=jnp.int32)
@@ -584,12 +607,13 @@ def decode_blocks(comp_words: jnp.ndarray,
     lit_val = jnp.where(t_valid & ~t_match, t_a.astype(jnp.uint32), lit_val)
 
     sto_pay_byte = ((blk_bit + 3 + 7) >> 3) + 4           # after LEN/NLEN
-    # Covering-block fields per position WITHOUT an S-sized gather: scatter a
+    # Covering-block flags per position WITHOUT an S-sized gather: scatter a
     # PACKED per-block word at each block's start and forward-fill with one
     # cummax — valid because the block id rides the high bits (monotone in
-    # position, so cummax is exactly segment-fill). Packs (b+1)<<23 |
-    # is_sto<<22 | biased(sto_pay_byte - blk_out); falls back to the
-    # (NB, 3)-row gather when the static ranges don't fit 31 bits.
+    # position, so cummax is exactly segment-fill). Only (block id, is_sto)
+    # are packed — stored-block SOURCES come from the contiguous slice
+    # copies below, so this works at any NB/S (the round-4 offset field and
+    # its 31-bit gate were vestigial).
     # Out-of-range starts are DROPPED, not clamped (a degenerate empty
     # trailing block at blk_out == S must not alias onto position S-1).
     start_slot = jnp.where(blive & (blk_out >= 0) & (blk_out < S), blk_out, S)
@@ -598,61 +622,43 @@ def decode_blocks(comp_words: jnp.ndarray,
     # block" — the precise domain for match/strictness checks (in batch
     # mode the flat layout has dead gaps between shards' valid ends)
     from ..core import scans as _scans
-    _scan_max = ((lambda x: x) if "scans" in _ablate     # profiling stub
+    _scan_max = ((lambda x: x) if "scans" in _abl     # profiling stub
                  else _scans.cummax)                     # blocked two-level
     cend = _scan_max(jnp.zeros((S,), jnp.int32).at[start_slot].max(
         jnp.where(blive, blk_end, 0), mode="drop"))
     pos_live = j_idx < cend
-    use_packed = NB <= 64 and S < (1 << 22) and 4 * CW < (1 << 22)
-    if use_packed:
-        _BIAS = 1 << 22
-        markv = (((blanes + 1) << 24)
-                 | (is_sto.astype(jnp.int32) << 23)
-                 | jnp.clip(sto_pay_byte - blk_out + _BIAS, 0,
-                            (1 << 23) - 1))
-        pc = _scan_max(jnp.zeros((S,), jnp.int32).at[start_slot].max(
-            jnp.where(blive, markv, 0), mode="drop"))
-        pos_sto = (((pc >> 23) & 1) == 1) & (j_idx >= plen) & ((pc >> 24) > 0)
-        # stored payloads are CONTIGUOUS byte ranges: copy each live stored
-        # block with one fixed-width dynamic slice pair (2 contiguous ops
-        # per block) instead of an S-sized random gather — stored DEFLATE
-        # blocks are <= 65535 output bytes (16-bit LEN), so a 64 KB window
-        # covers any block
-        _WSTO = 1 << 16
-        if "slices" not in _ablate:
-            cbytes = ((comp_words[:, None]
-                       >> (jnp.arange(4, dtype=jnp.uint32)[None, :]
-                           * np.uint32(8))) & np.uint32(0xFF)).reshape(-1)
-            cpad = jnp.concatenate([cbytes,
-                                    jnp.zeros((_WSTO,), jnp.uint32)])
-            lv_pad = jnp.concatenate([lit_val,
-                                      jnp.zeros((_WSTO,), jnp.uint32)])
-            t65 = jnp.arange(_WSTO, dtype=jnp.int32)
-            for b in range(NB):
-                live_sto = is_sto[b]
-                src0 = jnp.clip(sto_pay_byte[b], 0, 4 * CW)
-                dst0 = jnp.clip(blk_out[b], 0, S)
-                pay = jax.lax.dynamic_slice(cpad, (src0,), (_WSTO,))
-                cur = jax.lax.dynamic_slice(lv_pad, (dst0,), (_WSTO,))
-                ln = jnp.clip(blk_end[b] - blk_out[b], 0, _WSTO)
-                new = jnp.where(live_sto & (t65 < ln), pay, cur)
-                lv_pad = jax.lax.dynamic_update_slice(lv_pad, new, (dst0,))
-            lit_val = lv_pad[:S]
-    else:
-        bstart_mark = jnp.zeros((S,), jnp.int32).at[start_slot].max(
-            blanes + 1, mode="drop")
-        blk_of_pos = jnp.clip(_scan_max(bstart_mark) - 1, 0, NB - 1)
-        blocktab = jnp.stack([is_sto.astype(jnp.int32), sto_pay_byte,
-                              blk_out], axis=1)
-        btrow = blocktab[blk_of_pos]                      # (S, 3)-row gather
-        pos_sto = (btrow[:, 0] == 1) & (j_idx >= plen)
-        sto_src = jnp.clip(btrow[:, 1] + (j_idx - btrow[:, 2]),
-                           0, 4 * CW - 1)
-        # stored byte via a WORD gather + shift (not a u8 gather)
-        sto_w = comp_words[jnp.clip(sto_src >> 2, 0, CW - 1)]
-        sto_b = (sto_w >> ((sto_src.astype(jnp.uint32) & np.uint32(3))
-                           << np.uint32(3))) & np.uint32(0xFF)
-        lit_val = jnp.where(pos_sto, sto_b, lit_val)
+    markv = ((blanes + 1) << 1) | is_sto.astype(jnp.int32)
+    pc = _scan_max(jnp.zeros((S,), jnp.int32).at[start_slot].max(
+        jnp.where(blive, markv, 0), mode="drop"))
+    pos_sto = ((pc & 1) == 1) & (j_idx >= plen) & ((pc >> 1) > 0)
+    # stored payloads are CONTIGUOUS byte ranges: copy each live stored
+    # block with one fixed-width dynamic slice pair (2 contiguous ops per
+    # block) instead of an S-sized random gather — stored DEFLATE blocks
+    # are <= 65535 output bytes (16-bit LEN), so a 64 KB window covers any
+    # block. fori_loop keeps compile time flat at large NB (flat batches).
+    _WSTO = 1 << 16
+    if "slices" not in _ablate:
+        cbytes = ((comp_words[:, None]
+                   >> (jnp.arange(4, dtype=jnp.uint32)[None, :]
+                       * np.uint32(8))) & np.uint32(0xFF)).reshape(-1)
+        cpad = jnp.concatenate([cbytes,
+                                jnp.zeros((_WSTO,), jnp.uint32)])
+        lv_pad = jnp.concatenate([lit_val,
+                                  jnp.zeros((_WSTO,), jnp.uint32)])
+        t65 = jnp.arange(_WSTO, dtype=jnp.int32)
+
+        def sto_body(b, lv):
+            live_sto = is_sto[b]
+            src0 = jnp.clip(sto_pay_byte[b], 0, 4 * CW)
+            dst0 = jnp.clip(blk_out[b], 0, S)
+            pay = jax.lax.dynamic_slice(cpad, (src0,), (_WSTO,))
+            cur = jax.lax.dynamic_slice(lv, (dst0,), (_WSTO,))
+            ln = jnp.clip(blk_end[b] - blk_out[b], 0, _WSTO)
+            new = jnp.where(live_sto & (t65 < ln), pay, cur)
+            return jax.lax.dynamic_update_slice(lv, new, (dst0,))
+
+        lv_pad = jax.lax.fori_loop(0, NB, sto_body, lv_pad)
+        lit_val = lv_pad[:S]
 
     # covering token per position, then SAME-DISTANCE RUN collapse: the
     # byte-level source of any match-covered position is exactly j - d
@@ -664,21 +670,43 @@ def decode_blocks(comp_words: jnp.ndarray,
     # of periodic data (d-periodic tilings previously cost log2(run/d)
     # doubling rounds, each an S-sized gather). Only chains that hop
     # between DIFFERENT distances remain for the pointer doubling below.
-    start_mark = jnp.where(t_valid, j_idx, -1)
-    s_j = _scan_max(start_mark)
-    s_c = jnp.clip(s_j, 0, S - 1)
-    if "toksc" in _ablate:                               # profiling stub
-        tok_sc = tok[:S]
+    # Covering-token distance per position WITHOUT the full-S tok[s_j]
+    # gather (~52 ms per 8 MB — measured as the single largest item of
+    # phase C's fixed machinery): a u32 pack (local_pos+1)<<16 | d is
+    # monotone within 32 KB rows (cummax = segment fill; literal tokens
+    # carry d == 0), and a tiny per-row carry chain forward-fills across
+    # row boundaries (token extent <= 258 bytes, but empty rows pass the
+    # carry through, so the chain is a second small cummax). Positions with
+    # no covering token are masked by pos_sto/pos_live below.
+    t_d16 = jnp.where(t_match, (tok[:S] >> 9) & 0xFFFF, 0).astype(jnp.uint32)
+    _SROW = C.WINDOW_SIZE
+    if "toksc" in _abl:                               # profiling stub
+        d_j = t_d16.astype(jnp.int32)
+    elif S % _SROW == 0 and S >= _SROW:
+        jloc = (j_idx & (_SROW - 1)).astype(jnp.uint32)
+        pk32 = jnp.where(t_valid, ((jloc + np.uint32(1)) << np.uint32(16))
+                         | t_d16, np.uint32(0)).reshape(-1, _SROW)
+        within = _scans.cummax_rows(pk32)
+        rowlast = within[:, -1]
+        R = S // _SROW
+        rowpk = jnp.where(rowlast > 0,
+                          ((jnp.arange(R, dtype=jnp.uint32) + np.uint32(1))
+                           << np.uint32(16)) | (rowlast & np.uint32(0xFFFF)),
+                          np.uint32(0))
+        carry = _scans.cummax(rowpk)
+        carry_x = jnp.concatenate([jnp.zeros((1,), jnp.uint32), carry[:-1]])
+        d_j = jnp.where(within > 0, within & np.uint32(0xFFFF),
+                        jnp.where(carry_x[:, None] > 0,
+                                  carry_x[:, None] & np.uint32(0xFFFF),
+                                  np.uint32(0))).reshape(S).astype(jnp.int32)
     else:
-        tok_sc = tok[s_c]               # ONE gather replaces t_match/t_d[s_c]
-    d_j = jnp.where((s_j >= 0) & (((tok_sc >> 26) & 1) == 1),
-                    (tok_sc >> 9) & 0xFFFF, 0)
-    # second byte of a two-literal token (phase B pair entries): covered by
-    # the pair token one position back — its value rides in tok_sc, free
-    pair2 = ((s_j >= 0) & (((tok_sc >> 27) & 1) == 1)
-             & (j_idx == s_j + 1) & ~pos_sto & (j_idx >= plen))
-    lit_val = jnp.where(pair2, ((tok_sc >> 9) & 0xFF).astype(jnp.uint32),
-                        lit_val)
+        # small/odd shapes (host-side grouped decode of tiny streams):
+        # original covering-start scan + one gather
+        start_mark = jnp.where(t_valid, j_idx, -1)
+        s_j = _scan_max(start_mark)
+        tok_sc = tok[jnp.clip(s_j, 0, S - 1)]
+        d_j = jnp.where((s_j >= 0) & (((tok_sc >> 26) & 1) == 1),
+                        (tok_sc >> 9) & 0xFFFF, 0)
     mpos = (d_j > 0) & ~pos_sto & (j_idx >= plen) & pos_live
     rd = jnp.where(mpos, d_j, 0)
     prev_rd = jnp.concatenate([jnp.full((1,), -1, jnp.int32), rd[:-1]])
@@ -708,12 +736,22 @@ def decode_blocks(comp_words: jnp.ndarray,
     def c_body(st):
         v, ch, rr = st
         tag = (v & _TAG) != 0
-        hop = v[jnp.clip((v & _ADDR).astype(jnp.int32), 0, S - 1)]
+        hop = v[(v & _ADDR).astype(jnp.int32)]   # indices < S by construction
         vn = jnp.where(tag, hop, v)
         return vn, jnp.any((vn & _TAG) != 0), rr + 1
 
-    v, unconverged, _ = jax.lax.while_loop(
-        c_cond, c_body, (v0, jnp.any((v0 & _TAG) != 0), jnp.int32(0)))
+    if "chase" in _abl:                               # profiling stub
+        v, unconverged = v0, jnp.asarray(False)
+    else:
+        # NOTE round-5 negative result (tools/probe_compact.py): extracting
+        # the post-round-3 tagged minority (8% of S) into a compact array
+        # costs ~280 ms per 8M positions in the extraction scatter alone —
+        # scatters whose updates are mostly dropped/OOB lower pathologically
+        # on this stack — so compact-tail finishing LOSES to simply running
+        # the remaining full-size rounds (~56 ms each, convergence-checked;
+        # the per-round jnp.any is free: fix5 == chk5 in the probe).
+        v, unconverged, _ = jax.lax.while_loop(
+            c_cond, c_body, (v0, jnp.any((v0 & _TAG) != 0), jnp.int32(0)))
 
     out = (v & np.uint32(0xFF)).astype(jnp.uint8)
     out = jnp.where(j_idx < valid_out, out, jnp.uint8(0))
@@ -723,11 +761,13 @@ def decode_blocks(comp_words: jnp.ndarray,
     return {"out": out, "ok": ok, "bad_lanes": lbad}
 
 
-@functools.partial(jax.jit, static_argnames=("out_size", "lut_bits"))
+@functools.partial(jax.jit, static_argnames=("out_size", "lut_bits",
+                                             "_ablate"))
 def decode_blocks_batch(comp_words, blk_bit, blk_out, blk_btype, n_blocks,
                         sub_bit, sub_out, sub_blk, valid_out,
                         out_size: int, lut_bits: int = MAX_BITS,
-                        max_dist: jnp.ndarray | int = C.WINDOW_SIZE):
+                        max_dist: jnp.ndarray | int = C.WINDOW_SIZE,
+                        _ablate: str = ""):
     """Decode B independent shard substreams in ONE flat dispatch.
 
     All leading arguments carry a batch dimension B (as produced by a
@@ -775,7 +815,7 @@ def decode_blocks_batch(comp_words, blk_bit, blk_out, blk_btype, n_blocks,
                       fsb.reshape(-1), fso.reshape(-1), fsk.reshape(-1),
                       jnp.int32(fsb.size), jnp.int32(B * S), B * S,
                       lut_bits=lut_bits, max_dist=max_dist,
-                      blk_end=fe.reshape(-1))
+                      blk_end=fe.reshape(-1), _ablate=_ablate)
     out = r["out"].reshape(B, S)
     out = jnp.where(jnp.arange(S, dtype=jnp.int32)[None, :]
                     < valid_s[:, None], out, jnp.uint8(0))

@@ -104,13 +104,20 @@ def main():
         return r["ok"], jnp.sum(r["out"].astype(jnp.uint32), axis=1,
                                 dtype=jnp.uint32)
 
-    def dec_flat12(args, salt):
-        # wider literal-pair coverage: lut_bits=12 admits (cl1+cl2 <= 12)
+    def dec_flat_t4(args, salt):
+        # the bench's exact shape: TILE_DEC=4 on-device corpus copies in one
+        # flat dispatch (B=32 shards, S=8M) — divide the printed ms by 4
         words, bb, bo, bt, nb, sb, so, sk = args
-        words = words.at[:, -1].add(salt.astype(jnp.uint32))
+
+        def t(x):
+            return jnp.tile(x, (4,) + (1,) * (x.ndim - 1))
+        words = t(words)
+        words = words.at[:, -1].add(salt
+                                    + jnp.arange(words.shape[0],
+                                                 dtype=jnp.uint32))
         valid = jnp.full((words.shape[0],), SHARD, jnp.int32)
-        r = decode_blocks_batch(words, bb, bo, bt, nb, sb, so, sk, valid,
-                                SHARD, lut_bits=12)
+        r = decode_blocks_batch(words, t(bb), t(bo), t(bt), t(nb), t(sb),
+                                t(so), t(sk), valid, SHARD, lut_bits=11)
         return r["ok"], jnp.sum(r["out"].astype(jnp.uint32), axis=1,
                                 dtype=jnp.uint32)
 
@@ -176,9 +183,29 @@ def main():
                 jnp.sum(bb, dtype=jnp.int32)
                 + jnp.sum(sk, dtype=jnp.int32))
 
+    def make_t4(abl, kill_lanes=False):
+        def fn(args, salt):
+            words, bb, bo, bt, nb, sb, so, sk = args
+
+            def t(x):
+                return jnp.tile(x, (4,) + (1,) * (x.ndim - 1))
+            words = t(words)
+            words = words.at[:, -1].add(salt + jnp.arange(
+                words.shape[0], dtype=jnp.uint32))
+            sk4 = jnp.full_like(t(sk), -1) if kill_lanes else t(sk)
+            valid = jnp.full((words.shape[0],), SHARD, jnp.int32)
+            r = decode_blocks_batch(words, t(bb), t(bo), t(bt), t(nb),
+                                    t(sb), t(so), sk4, valid, SHARD,
+                                    lut_bits=11, _ablate=abl)
+            return r["ok"], jnp.sum(r["out"].astype(jnp.uint32), axis=1,
+                                    dtype=jnp.uint32)
+        return fn
+
     stages = [("dec_null", dec_null), ("dec_null2", dec_null),
+              ("t4_hdronly", make_t4("", kill_lanes=True)),
+              ("t4_nochase", make_t4("chase")),
               ("dec_flat", dec_flat), ("dec_flat2", dec_flat),
-              ("dec_flat12", dec_flat12), ("dec_flat12b", dec_flat12),
+              ("dec_flat_t4", dec_flat_t4), ("dec_flat_t4b", dec_flat_t4),
               ("dec_full", dec_full), ("dec_headers", dec_headers),
               ("dec_noblocks", dec_noblocks),
               ("nb-slices", make_ablate("slices")),
