@@ -314,7 +314,8 @@ def greedy_parse_flat(token_len: jnp.ndarray) -> jnp.ndarray:
 
 
 def greedy_parse(token_len: jnp.ndarray, chunk: int = 64,
-                 scan_batch: int = 8) -> jnp.ndarray:
+                 scan_batch: int = 8, reset: int = 0,
+                 _pstop: str = "") -> jnp.ndarray:
     """Greedy left-to-right parse: mark the positions where tokens start.
 
     token_len[i] >= 1 is the number of bytes a token starting at i consumes;
@@ -328,10 +329,20 @@ def greedy_parse(token_len: jnp.ndarray, chunk: int = 64,
     steps over all chunks simultaneously — per step a (nchunks,)-element
     gather + scatter instead of full-S doubling rounds (phase C; measured
     ~2 ms vs ~21 ms for the scatter-doubling variant per 256 KB shard).
+
+    `reset` > 0 asserts that every multiple of `reset` is a token start —
+    true for the codec because tokenize clamps tokens at 32 KB tile
+    boundaries — which makes the phase-B threading INDEPENDENT per tile:
+    the walks run in lockstep across all tiles, dividing the serial
+    dependent-gather chain (the parse's real cost: ~16 us latency per
+    dependent hop, profiled round 5) by the tile count.
     """
     S = token_len.shape[0]
     if S % chunk or S <= chunk or (S // chunk) % scan_batch:
         return greedy_parse_flat(token_len)
+    if reset and (S % reset or reset % chunk
+                  or (reset // chunk) % scan_batch):
+        reset = 0
     nchunks = S // chunk
     pos = jnp.arange(S, dtype=jnp.int32)
     g = jnp.minimum(pos + token_len, S)
@@ -342,68 +353,90 @@ def greedy_parse(token_len: jnp.ndarray, chunk: int = 64,
     # a LATER column (walks only move forward), which is already resolved.
     # One (nchunks,)-gather per step — S gathers total — versus log2(chunk)
     # full-S doubling rounds (measured ~15 ms/256 KB, the parse hot spot).
+    # TRANSPOSED (chunk, nchunks) layout: each scan step updates one
+    # CONTIGUOUS row (in-place in the scan carry) and gathers along axis 0
+    # — the axis-1 dynamic_update_slice of the row-major form forced a
+    # full-buffer copy per step (~500 us/step, profiled round 5).
     base = jnp.arange(nchunks, dtype=jnp.int32) * chunk
-    g2 = g.reshape(nchunks, chunk)
-    endc = (base + chunk)[:, None]                       # (nchunks, 1)
+    g2t = g.reshape(nchunks, chunk).T                    # (chunk, nchunks)
+    endc = base + chunk                                  # (nchunks,)
 
-    def exit_col(e2, j):
-        tgt = jax.lax.dynamic_slice_in_dim(g2, j, 1, axis=1)  # (nchunks, 1)
+    def exit_col(e2t, j):
+        tgt = jax.lax.dynamic_slice_in_dim(g2t, j, 1, axis=0)[0]  # (nchunks,)
         out = tgt >= endc
-        loc = jnp.clip(tgt - base[:, None], 0, chunk - 1)
-        inner = jnp.take_along_axis(e2, loc, axis=1)
+        loc = jnp.clip(tgt - base, 0, chunk - 1)
+        inner = jnp.take_along_axis(e2t, loc[None, :], axis=0)[0]
         col = jnp.where(out, tgt, inner)
-        return jax.lax.dynamic_update_slice_in_dim(e2, col, j, axis=1), None
+        return jax.lax.dynamic_update_slice_in_dim(
+            e2t, col[None, :], j, axis=0), None
 
-    e2_0 = jnp.zeros((nchunks, chunk), jnp.int32) + g2 * 0   # data-tied
-    e2, _ = jax.lax.scan(exit_col, e2_0,
-                         jnp.arange(chunk - 1, -1, -1, dtype=jnp.int32))
-    e = e2.reshape(S)
+    e2t_0 = jnp.zeros((chunk, nchunks), jnp.int32) + g2t * 0   # data-tied
+    e2t, _ = jax.lax.scan(exit_col, e2t_0,
+                          jnp.arange(chunk - 1, -1, -1, dtype=jnp.int32))
+    e = e2t.T.reshape(S)
+    if _pstop == "A":                  # PROFILING
+        return e > 0
 
     # phase B: thread entries across chunks (batched scan: `scan_batch`
-    # dependent 1-element hops per step — same data, fewer step overheads)
+    # dependent 1-element hops per step — same data, fewer step overheads).
+    # With `reset`, all T tiles thread in LOCKSTEP (p is a (T,) vector and
+    # each hop is one (T,)-gather): the dependent chain shrinks T-fold.
+    T = (S // reset) if reset else 1
+    cpt = nchunks // T                  # chunks per tile
+    tile_base = jnp.arange(T, dtype=jnp.int32) * (S // T)
+
     def chunk_batch_step(p, c0):
         entries = []
         for j in range(scan_batch):
-            c = c0 * scan_batch + j
-            start = c * chunk
+            cl = c0 * scan_batch + j
+            start = tile_base + cl * chunk        # (T,)
             inside = (p >= start) & (p < start + chunk)
             entries.append(jnp.where(inside, p, -1))
             p = jnp.where(inside, e[jnp.clip(p, 0, S - 1)], p)
         return p, jnp.stack(entries)
 
-    p0 = jnp.int32(0) + g[0] * 0       # data-tied zero (shard_map vma)
+    p0 = tile_base + g[0] * 0          # data-tied (shard_map vma)
     _, entries = jax.lax.scan(chunk_batch_step, p0,
-                              jnp.arange(nchunks // scan_batch,
+                              jnp.arange(cpt // scan_batch,
                                          dtype=jnp.int32))
-    entries = entries.reshape(nchunks)
+    # entries: (steps, scan_batch, T) with chunk id t*cpt + step*sb + j
+    entries = entries.reshape(cpt, T).T.reshape(nchunks)
+    if _pstop == "B":                  # PROFILING
+        return jnp.zeros((S,), jnp.bool_).at[jnp.clip(entries, 0, S - 1)].set(True)
 
-    # phase C: walk all chunks from their entries in lockstep. Local jump
-    # table: within-chunk successor or `chunk` (parked) once past the end.
-    base = (jnp.arange(nchunks, dtype=jnp.int32) * chunk)[:, None]
-    g2 = g.reshape(nchunks, chunk)
-    loc = jnp.where(g2 < base + chunk, g2 - base, chunk)   # (nchunks, chunk)
-    locp = jnp.concatenate([loc, jnp.full((nchunks, 1), chunk, jnp.int32)],
-                           axis=1)
-    cur0 = jnp.where(entries >= 0,
-                     entries - base[:, 0], chunk)          # local entry
+    # phase C: walk all chunks from their entries in lockstep (transposed
+    # (chunk+1, nchunks) jump table, axis-0 gathers — same layout rule as
+    # phase A). Local successor or `chunk` (parked) once past the end.
+    basec = jnp.arange(nchunks, dtype=jnp.int32) * chunk
+    g2t_c = g.reshape(nchunks, chunk).T                  # (chunk, nchunks)
+    loct = jnp.where(g2t_c < (basec + chunk)[None, :], g2t_c - basec[None, :],
+                     chunk)
+    locpt = jnp.concatenate([loct, jnp.full((1, nchunks), chunk, jnp.int32)],
+                            axis=0)                      # (chunk+1, nchunks)
+    cur0 = jnp.where(entries >= 0, entries - basec, chunk)  # local entry
 
     def walk_step(cur, _):
         mark = cur                      # (nchunks,) position to mark (or chunk)
-        nxt = jnp.take_along_axis(locp, cur[:, None], axis=1)[:, 0]
+        nxt = jnp.take_along_axis(locpt, cur[None, :], axis=0)[0]
         return nxt, mark
 
     _, marks = jax.lax.scan(walk_step, cur0, None, length=chunk)
-    # marks: (chunk, nchunks) local positions visited (chunk => none)
-    chosen2 = jnp.zeros((nchunks, chunk + 1), jnp.bool_)
-    chosen2 = chosen2.at[jnp.arange(nchunks)[None, :], marks].set(True)
-    return chosen2[:, :chunk].reshape(S)
+    # marks: (chunk, nchunks) local positions visited (chunk => none);
+    # scatter them into (chunk+1, nchunks) transposed and slice
+    chosen2t = jnp.zeros((chunk + 1, nchunks), jnp.bool_)
+    chosen2t = chosen2t.at[marks, jnp.arange(nchunks)[None, :]].set(True)
+    return chosen2t[:chunk].T.reshape(S)
 
 
 @functools.partial(jax.jit, static_argnames=("num_candidates", "lazy",
-                                             "boundary", "max_match_words"))
+                                             "boundary", "max_match_words",
+                                             "_stop", "parse_chunk",
+                                             "parse_scan_batch"))
 def tokenize(data: jnp.ndarray, valid_len: jnp.ndarray,
              num_candidates: int = 32, lazy: bool = True,
-             boundary: int = C.WINDOW_SIZE, max_match_words: int = 8):
+             boundary: int = C.WINDOW_SIZE, max_match_words: int = 8,
+             _stop: str = "", parse_chunk: int = 64,
+             parse_scan_batch: int = 8):
     """Full LZ77 stage for one shard.
 
     Args:
@@ -422,6 +455,8 @@ def tokenize(data: jnp.ndarray, valid_len: jnp.ndarray,
     pos = jnp.arange(S, dtype=jnp.int32)
 
     length, dist = find_matches(data, num_candidates, max_match_words)
+    if _stop == "matches":             # PROFILING
+        return {"chosen": length > 0, "length": length, "dist": dist}
 
     # Constant runs (period-1): exact dist-1 matches without any gathers.
     from . import scans
@@ -435,6 +470,8 @@ def tokenize(data: jnp.ndarray, valid_len: jnp.ndarray,
     better = run_len > length
     length = jnp.where(better, run_len, length)
     dist = jnp.where(better, 1, dist)
+    if _stop == "rundet":              # PROFILING
+        return {"chosen": length > 0, "length": length, "dist": dist}
 
     # Chain extension to MAX_MATCH with ZERO gathers (log-doubling over
     # shifted slices). If i's match is certified through i+s-1 at dist d and
@@ -453,6 +490,8 @@ def tokenize(data: jnp.ndarray, valid_len: jnp.ndarray,
         can = (length >= s + 3) & (d_s == dist) & (dist > 0)
         length = jnp.where(can, jnp.maximum(length, s + l_s), length)
     length = jnp.minimum(length, C.MAX_MATCH)
+    if _stop == "chainext":            # PROFILING
+        return {"chosen": length > 0, "length": length, "dist": dist}
 
     # Clamp matches to the valid region and to coding-block (tile)
     # boundaries: a token must not EXTEND past a boundary so every block's
@@ -485,7 +524,18 @@ def tokenize(data: jnp.ndarray, valid_len: jnp.ndarray,
         dist = jnp.where(demote, 0, dist)
 
     token_len = jnp.where(length >= C.MIN_MATCH, length, 1)
-    chosen = greedy_parse(token_len)
+    if _stop == "lazy":                # PROFILING
+        return {"chosen": token_len > 1, "length": length, "dist": dist}
+    # the boundary clamp makes every `boundary` multiple a token start, so
+    # the parse walk provably resets there (greedy_parse `reset`)
+    if _stop in ("parseA", "parseB"):  # PROFILING
+        return {"chosen": greedy_parse(token_len, parse_chunk,
+                                       parse_scan_batch,
+                                       reset=boundary if boundary else 0,
+                                       _pstop=_stop[-1]),
+                "length": length, "dist": dist}
+    chosen = greedy_parse(token_len, parse_chunk, parse_scan_batch,
+                          reset=boundary if boundary else 0)
     chosen = chosen & (pos < valid_len)
 
     return {"chosen": chosen, "length": length, "dist": dist}

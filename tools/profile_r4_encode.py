@@ -80,6 +80,18 @@ def main():
             return jax.vmap(one)(batch)
         return fn
 
+    def make_tstop(stop):
+        def fn(batch, salt):
+            batch = batch.at[0, 0].set(salt)
+
+            def one(row):
+                t = lz77.tokenize(row, jnp.int32(SHARD), _stop=stop)
+                return jnp.sum(t["length"] + t["dist"]
+                               + t["chosen"].astype(jnp.int32),
+                               dtype=jnp.int32)
+            return jax.vmap(one)(batch)
+        return fn
+
     def st_tokenize(batch, salt):
         batch = batch.at[0, 0].set(salt)
 
@@ -102,7 +114,11 @@ def main():
                      ("m_sort", make_stop("sort")),
                      ("m_gather", make_stop("gather")),
                      ("m_presel", make_stop("preselect")),
-                     ("matches", st_matches), ("tokenize", st_tokenize),
+                     ("matches", st_matches),
+                     ("t_rundet", make_tstop("rundet")),
+                     ("t_chainext", make_tstop("chainext")),
+                     ("t_lazy", make_tstop("lazy")),
+                     ("tokenize", st_tokenize),
                      ("encode", st_encode), ("encode2", st_encode)]:
         try:
             t0 = time.perf_counter()
