@@ -37,16 +37,17 @@ from ..core import huffman, lz77
 from . import constants as C
 
 BLOCK = C.WINDOW_SIZE            # 32768 input bytes per coding block
-_PAYLOAD_ITEMS = BLOCK // 8      # stored payload as 64-bit (2-word) items
 _RLE_SLOTS = 316                 # max hlit (286) + max hdist (30)
 # header slots: 3-bit hdr | 14-bit dynhdr | 19 clen | RLE (code+extra merged,
-# <= 14 bits each) | stored pad | LEN/NLEN | stored payload (64-bit items) |
-# EOB (offset overridden to the block's token end — still row-monotone,
-# since token end <= next block's base)
-_H_ITEMS = 1 + 1 + 19 + _RLE_SLOTS + 1 + 1 + _PAYLOAD_ITEMS + 1
+# <= 14 bits each) | stored pad | LEN/NLEN | EOB (offset overridden to the
+# block's token end — still row-monotone, since token end <= next block's
+# base). Stored PAYLOADS are NOT items: they are byte-aligned contiguous
+# ranges, written with per-block shifted-slice ORs after the packs (round 5
+# — the 64-bit payload item rows cost ~3x8K scatter elements per block even
+# when zero-width, since the sorted streams cannot drop them).
+_H_ITEMS = 1 + 1 + 19 + _RLE_SLOTS + 1 + 1 + 1
 _SLOT_PAD = 337
 _SLOT_LENNLEN = 338
-_SLOT_PAYLOAD = 339
 _SLOT_EOB = _H_ITEMS - 1
 TREE_LIMIT = 11          # emitted Huffman code-length cap (RFC allows 15;
                          # 11 keeps decode LUTs at 2^11 — see encode_shard)
@@ -504,22 +505,12 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     hdr_nbs = hdr_nbs.at[:, _SLOT_LENNLEN].set(
         jnp.where(b_emitted & is_sto, 32, 0))
 
-    # payload per 32 KB tile as 64-bit (2-word) items (elementwise reshape),
-    # indexed by each block's start tile — stored blocks are always
-    # single-tile (the cost table bars merged stored blocks), so one NB-row
-    # gather suffices
+    # per-tile payload WORDS for the stored-block slice writes below
+    # (elementwise reshape; stored blocks are always single-tile — the cost
+    # table bars merged stored blocks)
     q = data.reshape(S // 4, 4).astype(jnp.uint32)
     tile_words = (q[:, 0] | (q[:, 1] << 8) | (q[:, 2] << 16)
-                  | (q[:, 3] << 24)).reshape(NB, 2 * _PAYLOAD_ITEMS)
-    pay_val = tile_words[start_micro_c]
-    pay_lo = pay_val[:, 0::2]
-    pay_hi = pay_val[:, 1::2]
-    p8 = jnp.arange(_PAYLOAD_ITEMS, dtype=jnp.int32)[None, :] * 8
-    pay_nb = 8 * jnp.clip(blen[:, None] - p8, 0, 8)
-    pay_nb = jnp.where((b_emitted & is_sto)[:, None], pay_nb, 0)
-    hdr_lo = hdr_lo.at[:, _SLOT_PAYLOAD:_SLOT_EOB].set(pay_lo)
-    hdr_hi = hdr_hi.at[:, _SLOT_PAYLOAD:_SLOT_EOB].set(pay_hi)
-    hdr_nbs = hdr_nbs.at[:, _SLOT_PAYLOAD:_SLOT_EOB].set(pay_nb)
+                  | (q[:, 3] << 24)).reshape(NB, BLOCK // 4)
 
     # EOB: last item of each block's row; its offset is overridden below to
     # the block's token end (monotone: token end <= next block's base).
@@ -528,10 +519,11 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
 
     # --------------------------------------------- block layout scan (NB steps)
     hdr_fixed = jnp.sum(hdr_nbs, axis=1)     # without pad; WITH the EOB item
+    pay_bits_b = jnp.where(b_emitted & is_sto, 8 * blen, 0)
 
     def layout_step(p, b):
         pad = jnp.where(b_emitted[b] & is_sto[b], (8 - ((p + 3) % 8)) % 8, 0)
-        block_total = hdr_fixed[b] + pad + T_b[b]
+        block_total = hdr_fixed[b] + pad + T_b[b] + pay_bits_b[b]
         return p + block_total, (p, pad)
 
     # data-dependent zero init keeps the carry's varying-axis type stable
@@ -609,6 +601,43 @@ def encode_shard(data: jnp.ndarray, valid_len: jnp.ndarray,
     words_t = bits_mod.pack_items96_to_words(
         c0, c1, c2, n1 + n2, off_pos[0::2], OUT_WORDS, sorted_indices=True)
     words = words_h | words_t
+
+    # Stored payloads: byte-aligned CONTIGUOUS ranges — per emitted stored
+    # block, OR a shifted window of its tile's words in place (2 dynamic
+    # slices + elementwise; zero scatter elements). Alignment: payload
+    # starts at block_base + 3 + pad + 32, a byte boundary by construction.
+    _PW = BLOCK // 4
+    sto_any = is_sto & b_emitted
+
+    def pay_write(b, wds):
+        live = sto_any[b]
+        bit0 = block_base[b] + 3 + pad_b[b] + 32
+        byte0 = bit0 >> 3
+        w0 = jnp.clip(byte0 >> 2, 0, OUT_WORDS - 1)
+        sh = ((byte0 & 3) << 3).astype(jnp.uint32)      # 0/8/16/24
+        src = tile_words[start_micro_c[b]]              # (_PW,)
+        # mask source to blen valid bytes (tail bytes must contribute 0)
+        nby = 8 * jnp.clip(blen[b] - 4 * jnp.arange(_PW, dtype=jnp.int32),
+                           0, 4)
+        m = jnp.where(nby >= 32, np.uint32(0xFFFFFFFF),
+                      jnp.where(nby <= 0, np.uint32(0),
+                                np.uint32(0xFFFFFFFF)
+                                >> (np.uint32(32) - nby.astype(jnp.uint32))))
+        sv = src & m
+        prev = jnp.concatenate([jnp.zeros((1,), jnp.uint32), sv[:-1]])
+        up = (np.uint32(32) - sh) & np.uint32(31)
+        nz = sh > 0
+        shifted = (sv << sh) | jnp.where(nz, prev >> up, np.uint32(0))
+        carry = jnp.where(nz, sv[-1] >> up, np.uint32(0))
+        win = jnp.concatenate([shifted, carry[None]])   # (_PW + 1,)
+        cur = jax.lax.dynamic_slice(wds, (w0,), (_PW + 1,))
+        new = jnp.where(live, cur | win, cur)
+        return jax.lax.dynamic_update_slice(wds, new, (w0,))
+
+    words = jax.lax.fori_loop(0, NB, pay_write,
+                              jnp.concatenate(
+                                  [words, jnp.zeros((_PW + 1,), jnp.uint32)])
+                              )[:OUT_WORDS]
 
     # ---------------------------------------------- sub-block decode entries
     # TOKEN-UNIFORM decode checkpoints: every `stride`-th token plus each

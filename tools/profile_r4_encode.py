@@ -102,11 +102,25 @@ def main():
         return jax.vmap(one)(batch)
 
     def st_encode(batch, salt):
+        # NOTE: returns only total_bits — XLA dead-code-eliminates the
+        # bit-pack (total_bits comes from the layout scan, not the
+        # scatters). Kept as the "encode minus serialization" stage.
         batch = batch.at[0, 0].set(salt)
 
         def one(row, fin):
             r = encode_shard(row, jnp.int32(SHARD), fin)
             return r["total_bits"]
+        fins = jnp.arange(batch.shape[0]) == batch.shape[0] - 1
+        return jax.vmap(one)(batch, fins)
+
+    def st_encode_fp(batch, salt):
+        # words fingerprint FORCES the pack: the honest full-encode stage
+        batch = batch.at[0, 0].set(salt)
+
+        def one(row, fin):
+            r = encode_shard(row, jnp.int32(SHARD), fin)
+            return r["total_bits"] + jnp.sum(
+                r["words"], dtype=jnp.uint32).astype(jnp.int32)
         fins = jnp.arange(batch.shape[0]) == batch.shape[0] - 1
         return jax.vmap(one)(batch, fins)
 
@@ -119,7 +133,9 @@ def main():
                      ("t_chainext", make_tstop("chainext")),
                      ("t_lazy", make_tstop("lazy")),
                      ("tokenize", st_tokenize),
-                     ("encode", st_encode), ("encode2", st_encode)]:
+                     ("encode", st_encode), ("encode2", st_encode),
+                     ("encode_fp", st_encode_fp),
+                     ("encode_fp2", st_encode_fp)]:
         try:
             t0 = time.perf_counter()
             ex = jax.jit(fn).lower(

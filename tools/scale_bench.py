@@ -64,10 +64,13 @@ def run_tpu(tile: int = TILE):
         print("# materialize wedged; continuing", file=sys.stderr)
     print("# base uploaded", file=sys.stderr)
 
-    # Waves of 16 shards (4 MB per dispatch); 25 waves = 100 MB. Each wave
+    # Waves of 64 shards (16 MB per dispatch, the same lax.map-of-vmap(8)
+    # dispatch structure as bench.py TILE_ENC=8) so the ~48 ms tunnel
+    # roundtrip amortizes identically — VERDICT r4 weak #6: the old 16-shard
+    # waves underreported sustained throughput ~20% vs the bench. Each wave
     # re-derives its rows from the device-resident base with a wave-dependent
     # salt so the execution cache cannot shortcut any wave.
-    WAVE = 16
+    WAVE = 64
     NWAVES = (BASE_SHARDS * tile) // WAVE
 
     @jax.jit
@@ -77,8 +80,13 @@ def run_tpu(tile: int = TILE):
 
         def one(row):
             r = encode_shard(row, jnp.int32(SHARD), jnp.asarray(False))
-            return r["total_bits"]
-        return jax.vmap(one)(rows)
+            # the words fingerprint FORCES the bit-pack: returning only
+            # total_bits lets XLA dead-code-eliminate the entire
+            # serialization stage (~7 ms/shard) and inflates the number
+            return r["total_bits"], jnp.sum(r["words"], dtype=jnp.uint32)
+        bits, fps = jax.lax.map(jax.vmap(one),
+                                rows.reshape(WAVE // 8, 8, SHARD))
+        return bits.reshape(-1), fps.reshape(-1)
 
     ex = jax.jit(wave_encode.__wrapped__).lower(
         jax.ShapeDtypeStruct(dbase.shape, jnp.uint8),
@@ -92,8 +100,9 @@ def run_tpu(tile: int = TILE):
             try:
                 with _alarm(200):
                     tw = time.perf_counter()
-                    tb = ex(dbase, jnp.uint8((w % 250) + 1))
+                    tb, fps = ex(dbase, jnp.uint8((w % 250) + 1))
                     total_bits += int(np.asarray(tb).sum())
+                    _ = int(np.asarray(fps).sum())      # force the pack
                     wave_times.append(time.perf_counter() - tw)
                 break
             except TimeoutError:
