@@ -216,10 +216,16 @@ def main():
         finally:
             signal.alarm(0)
 
-    # baseline: zlib level 6 on this host (+ level 9 ratio for context)
-    t0 = time.perf_counter()
-    zcomp = zlib.compress(corpus, 6)
-    zdt = time.perf_counter() - t0
+    # baseline: zlib level 6 on this host (+ level 9 ratio for context);
+    # best of 3 — the shared host's load varies run to run (measured
+    # 22-31 MB/s across one afternoon), and min is the conservative
+    # denominator for vs_baseline
+    zdt = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        zcomp = zlib.compress(corpus, 6)
+        dt_z = time.perf_counter() - t0
+        zdt = dt_z if zdt is None else min(zdt, dt_z)
     z_mbps = n / zdt / 1e6
     z_ratio = (len(zcomp) - 6) / n
     z9_ratio = (len(zlib.compress(corpus, 9)) - 6) / n

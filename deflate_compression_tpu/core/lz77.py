@@ -86,7 +86,8 @@ def _tail_bytes(diff):
 
 
 def find_matches(data: jnp.ndarray, num_candidates: int = 32,
-                 max_match_words: int = 8, _stop: str = ""):
+                 max_match_words: int = 8, _stop: str = "",
+                 _presel: str = "fold"):
     """Best match per position. Returns (length i32[S], dist i32[S]);
     length 0 where no usable match. Lengths capped at
     min(4 * max_match_words + 3, 258).
@@ -152,30 +153,53 @@ def find_matches(data: jnp.ndarray, num_candidates: int = 32,
         pw_pad = [_padded(pw[t], KM, np.uint32(0))
                   for t in range(FAR_WORDS + 1)]
         K = num_candidates
-        kvec = jnp.arange(1, K + 1, dtype=jnp.int32)[:, None]
         idx_s = jnp.arange(S, dtype=jnp.int32)
         run_ne = jnp.concatenate([jnp.ones((1,), jnp.bool_),
                                   hs[1:] != hs[:-1]])
         from . import scans
         seg_start = scans.cummax(jnp.where(run_ne, idx_s, -1))
-        same = kvec <= (idx_s[None, :] - seg_start[None, :])
-        ps_k = jnp.stack([_shifted(ps_pad, k, KM, S)
-                          for k in range(1, K + 1)])
-        okk = same & (ps_k >= 0) & ((ps[None, :] - ps_k) <= C.WINDOW_SIZE)
-        d0 = pw[0][None, :] ^ jnp.stack(
-            [_shifted(pw_pad[0], k, KM, S) for k in range(1, K + 1)])
-        d1 = pw[1][None, :] ^ jnp.stack(
-            [_shifted(pw_pad[1], k, KM, S) for k in range(1, K + 1)])
-        dl = pw[2][None, :] ^ jnp.stack(
-            [_shifted(pw_pad[2], k, KM, S) for k in range(1, K + 1)])
-        e0 = d0 == 0
-        e1 = d1 == 0
-        nww = e0.astype(jnp.int32) + (e0 & e1).astype(jnp.int32)
-        fd = jnp.where(~e0, d0, jnp.where(~e1, d1, dl))
-        nbytes_k = 4 * nww + _tail_bytes(fd)              # 0..11
-        key = jnp.where(okk, ((nbytes_k + 1) << 26) | ((K - kvec) << 20)
-                        | ps_k, -1)
-        mk = jnp.max(key, axis=0)
+        dseg = idx_s - seg_start
+
+        if _presel == "fold":
+            # unrolled fused max-reduce: no (K, S) materialization —
+            # measured ~1.1 ms/shard under the stacked form (bit-identical;
+            # tools /tmp probe, round 5); "stack" kept for comparison
+            mk = jnp.full((S,), -1, jnp.int32)
+            for k in range(1, K + 1):
+                cnd = _shifted(ps_pad, k, KM, S)
+                ok = (k <= dseg) & (cnd >= 0) & \
+                    ((ps - cnd) <= C.WINDOW_SIZE)
+                d0f = pw[0] ^ _shifted(pw_pad[0], k, KM, S)
+                d1f = pw[1] ^ _shifted(pw_pad[1], k, KM, S)
+                dlf = pw[2] ^ _shifted(pw_pad[2], k, KM, S)
+                e0f = d0f == 0
+                e1f = d1f == 0
+                nwf = e0f.astype(jnp.int32) + (e0f & e1f).astype(jnp.int32)
+                fdf = jnp.where(~e0f, d0f, jnp.where(~e1f, d1f, dlf))
+                nbf = 4 * nwf + _tail_bytes(fdf)
+                keyf = jnp.where(ok, ((nbf + 1) << 26) | ((K - k) << 20)
+                                 | cnd, -1)
+                mk = jnp.maximum(mk, keyf)
+        else:
+            kvec = jnp.arange(1, K + 1, dtype=jnp.int32)[:, None]
+            same = kvec <= dseg[None, :]
+            ps_k = jnp.stack([_shifted(ps_pad, k, KM, S)
+                              for k in range(1, K + 1)])
+            okk = same & (ps_k >= 0) & ((ps[None, :] - ps_k) <= C.WINDOW_SIZE)
+            d0 = pw[0][None, :] ^ jnp.stack(
+                [_shifted(pw_pad[0], k, KM, S) for k in range(1, K + 1)])
+            d1 = pw[1][None, :] ^ jnp.stack(
+                [_shifted(pw_pad[1], k, KM, S) for k in range(1, K + 1)])
+            dl = pw[2][None, :] ^ jnp.stack(
+                [_shifted(pw_pad[2], k, KM, S) for k in range(1, K + 1)])
+            e0 = d0 == 0
+            e1 = d1 == 0
+            nww = e0.astype(jnp.int32) + (e0 & e1).astype(jnp.int32)
+            fd = jnp.where(~e0, d0, jnp.where(~e1, d1, dl))
+            nbytes_k = 4 * nww + _tail_bytes(fd)              # 0..11
+            key = jnp.where(okk, ((nbytes_k + 1) << 26) | ((K - kvec) << 20)
+                            | ps_k, -1)
+            mk = jnp.max(key, axis=0)
         best_cand = jnp.where(mk >= (1 << 26), mk & 0xFFFFF, -1)
         if _stop == "preselect":        # PROFILING: + stacked K-candidate
             return best_cand & 1, best_cand & 2
