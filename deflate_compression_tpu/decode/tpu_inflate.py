@@ -130,6 +130,8 @@ def _extract2(lo: jnp.ndarray, hi: jnp.ndarray, off: jnp.ndarray) -> jnp.ndarray
 
 
 _NWIN = 6                # peek-row width in u32 words (192 bits)
+KSYM = 10                # symbols decoded per peek row (window-budgeted)
+LG = 64                  # lanes per dense-lookup group
 
 
 def _winwords(words: jnp.ndarray) -> jnp.ndarray:
@@ -465,7 +467,7 @@ def decode_blocks(comp_words: jnp.ndarray,
     # each block's lanes start at a Lg-aligned base (padding slots are dead
     # lanes). Device-side and format-independent — foreign-stream indexes
     # get the same treatment.
-    Lg = 64
+    Lg = LG
     live_i = llive.astype(jnp.int32)
     scat_b = jnp.where(llive, lblk, NB)
     cnt_b = jnp.zeros((NB + 1,), jnp.int32).at[scat_b].add(1)[:NB]
@@ -549,8 +551,7 @@ def decode_blocks(comp_words: jnp.ndarray,
     # valid, a token consumes <= 48 (15+5+15+13), so a lane keeps decoding
     # while its window offset is <= 128. Typical tokens are ~9-12 bits ->
     # ~10+ symbols per row; worst-case lanes still make >= 2.
-    KSYM = 10
-    _WSAFE = 128
+    _WSAFE = 32 * _NWIN - 15 - 49   # token <= 48 bits, >= 32*_NWIN-15 valid
     max_steps = S + 64
 
     def dec_cond(st):
