@@ -259,7 +259,7 @@ def main():
         # every symbol-loop gather to a slower batched form — ROADMAP r4);
         # TILE_DEC on-device copies amortize the ~48 ms tunnel roundtrip
         # exactly like the encode side.
-        TILE_DEC = 8
+        TILE_DEC = 4
 
         def _tile(x):
             return jnp.tile(x, (TILE_DEC,) + (1,) * (x.ndim - 1))
