@@ -47,33 +47,43 @@ def cmd_compress(args) -> int:
     if args.stream:
         # O(shard) memory end to end: never buffers the input or output
         # (the reference's unbounded-fd capability,
-        # src/deflate_compress.c:14-37); incompatible with --distributed.
+        # src/deflate_compress.c:14-37); incompatible with --distributed
+        # and with --stats (per-block stats would grow with the input).
         if args.distributed:
             print("--stream and --distributed are exclusive", file=sys.stderr)
             return 2
-        from .models.codec import compress_stream
-        from .decode.index import index_from_shards
+        if args.stats:
+            print("--stream does not support --stats", file=sys.stderr)
+            return 2
         t0 = time.perf_counter()
-        sink = [] if args.index else None
-        n_out = 0
-        fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
-        fout = (sys.stdout.buffer if args.output == "-"
-                else open(args.output, "wb"))
-        try:
-            for piece in compress_stream(fin, cfg, index_sink=sink):
-                fout.write(piece)
-                n_out += len(piece)
-        finally:
-            if fin is not sys.stdin.buffer:
-                fin.close()
-            if fout is not sys.stdout.buffer:
-                fout.close()
-        if args.index:
-            idx = index_from_shards([t[0] for t in sink],
-                                    [t[1] for t in sink],
-                                    [t[2] for t in sink])
-            with open(args.index, "wb") as f:
-                f.write(idx.to_bytes())
+        if args.input != "-" and args.output != "-":
+            from .models.codec import compress_file
+            n_out = compress_file(args.input, args.output, cfg,
+                                  index_path=args.index)
+        else:
+            from .models.codec import compress_stream
+            from .decode.index import index_from_shards
+            sink = [] if args.index else None
+            n_out = 0
+            fin = (sys.stdin.buffer if args.input == "-"
+                   else open(args.input, "rb"))
+            fout = (sys.stdout.buffer if args.output == "-"
+                    else open(args.output, "wb"))
+            try:
+                for piece in compress_stream(fin, cfg, index_sink=sink):
+                    fout.write(piece)
+                    n_out += len(piece)
+            finally:
+                if fin is not sys.stdin.buffer:
+                    fin.close()
+                if fout is not sys.stdout.buffer:
+                    fout.close()
+            if args.index:
+                idx = index_from_shards([t[0] for t in sink],
+                                        [t[1] for t in sink],
+                                        [t[2] for t in sink])
+                with open(args.index, "wb") as f:
+                    f.write(idx.to_bytes())
         if args.verbose:
             dt = time.perf_counter() - t0
             print(f"streamed -> {n_out} bytes ({dt:.2f}s)", file=sys.stderr)

@@ -38,6 +38,14 @@ _MAGIC = b"DCXI"
 _VERSION = 2
 SUB_SIZE = 1024
 
+# The per-shard encoder stats that index_from_shards consumes — the ONE
+# canonical field list (parallel/dist.py and models/codec.py both ship
+# these from device to host; a drifting copy would silently desynchronize
+# the distributed and single-process .dcx sidecars).
+INDEX_STAT_FIELDS = ("block_bit_base", "block_out_start", "btype",
+                     "n_blocks", "sub_bit", "sub_out", "sub_blk",
+                     "sub_overflow")
+
 
 @dataclasses.dataclass
 class DecodeIndex:

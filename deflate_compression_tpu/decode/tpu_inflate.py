@@ -552,7 +552,12 @@ def decode_blocks(comp_words: jnp.ndarray,
     # while its window offset is <= 128. Typical tokens are ~9-12 bits ->
     # ~10+ symbols per row; worst-case lanes still make >= 2.
     _WSAFE = 32 * _NWIN - 15 - 49   # token <= 48 bits, >= 32*_NWIN-15 valid
-    max_steps = S + 64
+    # steps advance by KSYM per body but a body may decode fewer symbols
+    # (>= floor(_WSAFE/48)+1 = 3 per window even with worst-case 48-bit
+    # tokens), so the bound must cover KSYM/3 x the worst lane's tokens
+    # (<= S) — S + 64 could flag a VALID all-15-bit-literal foreign stream
+    # as unconverged (round-5 review finding)
+    max_steps = 4 * S + 64
 
     def dec_cond(st):
         bp, ocur, done, lbad, tok, steps = st

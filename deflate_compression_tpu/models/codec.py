@@ -226,8 +226,7 @@ def _iter_shard_chunks(src, size: int):
         yield bytes(buf)
 
 
-_INDEX_KEYS = ("n_blocks", "block_bit_base", "block_out_start", "btype",
-               "sub_bit", "sub_out", "sub_blk", "sub_overflow")
+from ..decode.index import INDEX_STAT_FIELDS as _INDEX_KEYS  # noqa: E402
 
 
 def compress_stream(src, config: CodecConfig = DEFAULT_CONFIG,

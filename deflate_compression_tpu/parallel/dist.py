@@ -54,11 +54,11 @@ def _encode_one(data_row, valid_len, final, num_candidates, lazy,
     return r["words"], nbytes, r
 
 
-# per-shard decode-index stats exposed by encode_sharded (the same fields
-# decode.index.index_from_shards consumes — VERDICT r4 next #6: a distributed
-# encode's output feeds the TPU decoder with no host re-pass)
-_IDX_FIELDS = ("block_bit_base", "block_out_start", "btype", "n_blocks",
-               "sub_bit", "sub_out", "sub_blk", "sub_overflow")
+# per-shard decode-index stats exposed by encode_sharded (the canonical
+# field list lives next to its consumer, decode.index.index_from_shards —
+# VERDICT r4 next #6: a distributed encode's output feeds the TPU decoder
+# with no host re-pass)
+from ..decode.index import INDEX_STAT_FIELDS as _IDX_FIELDS  # noqa: E402
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "num_candidates", "lazy",

@@ -157,3 +157,106 @@ def test_decoder_handles_foreign_15bit_codes():
     out = decompress_indexed(body, idx,
                              expected_adler=int.from_bytes(z[-4:], "big"))
     assert out == raw
+
+
+class _BitWriter:
+    """LSB-first bit writer (test-local; codes must arrive pre-reversed)."""
+
+    def __init__(self):
+        self.bits = 0
+        self.n = 0
+
+    def put(self, value, nbits):
+        self.bits |= (value & ((1 << nbits) - 1)) << self.n
+        self.n += nbits
+
+    def bytes(self):
+        return self.bits.to_bytes((self.n + 7) // 8, "little")
+
+
+def _rev(code, n):
+    r = 0
+    for _ in range(n):
+        r = (r << 1) | (code & 1)
+        code >>= 1
+    return r
+
+
+def test_deep_15bit_literal_stream_single_lane():
+    """Regression (round-5 review): a VALID foreign stream whose literals
+    use 15-bit codes, decoded with ONE lane spanning > 576 bytes, must not
+    exhaust the symbol loop's step bound (steps advance by KSYM per body
+    while as few as 9 symbols decode per 192-bit window at 15-bit codes)."""
+    # complete litlen tree: lens[256+k] = k+1 for k in 0..13 (unused),
+    # lens[0] = lens[1] = 15 (kraft: sum 2^-1..2^-14 + 2*2^-15 == 1)
+    ll = np.zeros(288, np.int64)
+    for k in range(14):
+        ll[256 + k] = k + 1          # EOB itself gets the 1-bit code (k=0)
+    ll[0] = 15
+    ll[1] = 15
+    dd = np.zeros(30, np.int64)
+    dd[0] = 1                        # single 1-bit dist code (incomplete: ok)
+
+    from deflate_compression_tpu.core.huffman import canonical_codes_np
+    llc = canonical_codes_np(ll, 15)
+    w = _BitWriter()
+    w.put(1, 1)                      # BFINAL
+    w.put(2, 2)                      # BTYPE dynamic
+    w.put(286 - 257, 5)              # HLIT
+    w.put(0, 5)                      # HDIST
+    # clen alphabet: we must transmit 286 litlen lens + 1 dist len via the
+    # RLE code. Used clen symbols: {0, 1..15, 18} — a COMPLETE 17-leaf
+    # tree: one 1-bit code (symbol 0) + sixteen 5-bit codes (kraft
+    # 1/2 + 16/32 == 1).
+    clen_lens = np.zeros(19, np.int64)
+    clen_lens[0] = 1
+    for v in list(range(1, 16)) + [18]:
+        clen_lens[v] = 5
+    clc = canonical_codes_np(clen_lens, 7)
+    from deflate_compression_tpu.format import constants as C
+    order = list(C.CLEN_ORDER)
+    hclen_syms = [int(clen_lens[order[j]]) for j in range(19)]
+    last = max(j for j in range(19) if hclen_syms[j] > 0)
+    w.put(last + 1 - 4, 4)           # HCLEN
+    for j in range(last + 1):
+        w.put(hclen_syms[j], 3)
+
+    def put_clen(sym, extra=None, ebits=0):
+        assert clen_lens[sym] > 0, sym
+        w.put(_rev(int(clc[sym]), int(clen_lens[sym])), int(clen_lens[sym]))
+        if ebits:
+            w.put(extra, ebits)
+
+    # litlen lens: [15, 15, 0 x 254, 1..12, 14, 15... ] per ll above:
+    put_clen(15)                     # lens[0] = 15
+    put_clen(15)                     # lens[1] = 15
+    # 254 zeros: 18(+127), 18(+127... max run 138): 138 + 116
+    put_clen(18, 138 - 11, 7)
+    put_clen(18, 116 - 11, 7)
+    for k in range(14):              # lens[256..269] = 1..14
+        put_clen(k + 1)
+    # lens[270..285] zeros: 16 zeros
+    put_clen(18, 16 - 11, 7)
+    put_clen(1)                      # the single dist len
+    # body: N 15-bit literals (symbol 0), then EOB (1-bit code)
+    N = 2000
+    lit_code = _rev(int(llc[0]), 15)
+    for _ in range(N):
+        w.put(lit_code, 15)
+    w.put(_rev(int(llc[256]), 1), 1)
+    body = w.bytes()
+
+    # sanity: the host oracle decodes it
+    from deflate_compression_tpu.decode.inflate import _inflate_raw_py
+    out, _ = _inflate_raw_py(body)
+    assert out == b"\x00" * N
+
+    # ONE lane spanning all N bytes (no sub-entries): the step-bound path
+    words = np.frombuffer(body + b"\x00" * ((-len(body)) % 4), np.uint32)
+    S = 2048
+    r = TI.decode_shard_indexed(
+        jnp.asarray(words), jnp.asarray([0], jnp.int32),
+        jnp.asarray([0], jnp.int32), jnp.asarray([2], jnp.int32),
+        jnp.int32(1), jnp.int32(N), S)
+    assert bool(r["ok"])
+    assert np.asarray(r["out"])[:N].tobytes() == b"\x00" * N

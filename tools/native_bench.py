@@ -11,7 +11,9 @@ Corpus: the same 2 MB mixed corpus bench.py uses, compressed with CPython
 zlib-6 (the baseline encoder), so numbers are comparable to the bench's
 "zlib host inflate" row.
 
-Usage: python tools/native_bench.py   (pure host; safe to run any time)
+Usage: python tools/native_bench.py   (host-only compute, but NEVER run it
+while a TPU process is mid-flight: sitecustomize touches the axon relay at
+interpreter start and can wedge the other process's transfers — CLAUDE.md)
 """
 import json
 import sys
