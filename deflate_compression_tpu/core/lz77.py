@@ -385,11 +385,18 @@ def greedy_parse(token_len: jnp.ndarray, chunk: int = 64,
     g2t = g.reshape(nchunks, chunk).T                    # (chunk, nchunks)
     endc = base + chunk                                  # (nchunks,)
 
+    row_iota = jnp.arange(chunk, dtype=jnp.int32)[:, None]
+
     def exit_col(e2t, j):
         tgt = jax.lax.dynamic_slice_in_dim(g2t, j, 1, axis=0)[0]  # (nchunks,)
         out = tgt >= endc
         loc = jnp.clip(tgt - base, 0, chunk - 1)
-        inner = jnp.take_along_axis(e2t, loc[None, :], axis=0)[0]
+        # dense small-index select (row space = chunk): replaces the
+        # per-step (nchunks,)-gather — the round-5 rule that fused
+        # compare-select-reduce beats descriptor-bound gathers whenever the
+        # index space is small (tools/probe_onehot). Rows > j are the only
+        # ones selectable (g moves strictly forward within the chunk).
+        inner = jnp.sum(jnp.where(row_iota == loc[None, :], e2t, 0), axis=0)
         col = jnp.where(out, tgt, inner)
         return jax.lax.dynamic_update_slice_in_dim(
             e2t, col[None, :], j, axis=0), None
@@ -438,17 +445,22 @@ def greedy_parse(token_len: jnp.ndarray, chunk: int = 64,
     locpt = jnp.concatenate([loct, jnp.full((1, nchunks), chunk, jnp.int32)],
                             axis=0)                      # (chunk+1, nchunks)
     cur0 = jnp.where(entries >= 0, entries - basec, chunk)  # local entry
+    row_iota1 = jnp.arange(chunk + 1, dtype=jnp.int32)[:, None]
 
-    def walk_step(cur, _):
-        mark = cur                      # (nchunks,) position to mark (or chunk)
-        nxt = jnp.take_along_axis(locpt, cur[None, :], axis=0)[0]
-        return nxt, mark
+    def walk_step(st, _):
+        cur, ch = st
+        # dense small-index forms (row space = chunk+1) for BOTH the mark
+        # (was a scatter) and the hop (was a gather) — same rationale as
+        # phase A; parked lanes (cur == chunk) mark row `chunk`, sliced off
+        ch = ch | (row_iota1 == cur[None, :])
+        nxt = jnp.sum(jnp.where(row_iota1 == cur[None, :], locpt, 0), axis=0)
+        return (nxt, ch), None
 
-    _, marks = jax.lax.scan(walk_step, cur0, None, length=chunk)
-    # marks: (chunk, nchunks) local positions visited (chunk => none);
-    # scatter them into (chunk+1, nchunks) transposed and slice
-    chosen2t = jnp.zeros((chunk + 1, nchunks), jnp.bool_)
-    chosen2t = chosen2t.at[marks, jnp.arange(nchunks)[None, :]].set(True)
+    # data-tied False init: scan carries must be "varying" under shard_map
+    # (same vma rule as greedy_parse's p0/e2t_0 — see CLAUDE.md)
+    ch0 = jnp.zeros((chunk + 1, nchunks), jnp.bool_) | (locpt < 0)
+    (cur, chosen2t), _ = jax.lax.scan(walk_step, (cur0, ch0), None,
+                                      length=chunk)
     return chosen2t[:chunk].T.reshape(S)
 
 
