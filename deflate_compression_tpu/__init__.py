@@ -18,7 +18,7 @@ __all__ = [
     "CodecConfig", "DeflateCodec", "ZlibCodec", "GzipCodec", "make_codec",
     "compress_distributed", "png_decode", "CompressStats",
     "DecodeIndex", "build_index", "decompress_indexed",
-    "compress_file_resumable",
+    "compress_file_resumable", "compress_stream", "compress_file",
 ]
 
 
@@ -27,7 +27,7 @@ def __getattr__(name):
         from .utils.config import CodecConfig
         return CodecConfig
     if name in ("DeflateCodec", "ZlibCodec", "GzipCodec", "make_codec",
-                "CompressStats"):
+                "CompressStats", "compress_stream", "compress_file"):
         from .models import codec
         return getattr(codec, name)
     if name == "compress_distributed":

@@ -12,7 +12,7 @@ Decompression" / rapidgzip):
     (the encoder emits a (bit, out) checkpoint every `stride` tokens —
     free, because it knows every token's bit offset): lanes are regrouped
     into padded per-block GROUPS of Lg so each group shares one table row,
-    then one `while_loop` whose body fetches ONE 128-bit peek row per lane
+    then one `while_loop` whose body fetches ONE 192-bit peek row per lane
     and decodes up to KSYM symbols from it; each Huffman code resolves by
     a fused dense compare over the SYMBOL axis (288/32 entries —
     tools/probe_onehot measured ~3.7x the descriptor-bound LUT gather),
