@@ -51,7 +51,6 @@ from ..format import constants as C
 
 MAX_BITS = 15
 SUB_SIZE = 1024                  # sub-block entry spacing (output bytes)
-_LSZ = 1 << MAX_BITS
 _N_LL = 288                      # decode-side litlen alphabet (286/287 bad)
 _N_D = 32                        # decode-side dist alphabet (30/31 bad)
 
