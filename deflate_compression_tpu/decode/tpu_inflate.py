@@ -128,7 +128,7 @@ def _extract2(lo: jnp.ndarray, hi: jnp.ndarray, off: jnp.ndarray) -> jnp.ndarray
     return jnp.where(o < 32, below, above)
 
 
-_NWIN = 6                # peek-row width in u32 words (192 bits)
+_NWIN = 8                # peek-row width in u32 words (256 bits)
 KSYM = 10                # symbols decoded per peek row (window-budgeted)
 LG = 64                  # lanes per dense-lookup group
 
