@@ -406,15 +406,15 @@ def decode_blocks(comp_words: jnp.ndarray,
         bad = bad | (act & (bp > bit_budget))
         return bp, i, prev, lens, bad, steps + 1
 
-    def rle_body2(st):
-        # 2x unroll: the RLE loop is bound by per-iteration kernel launch
-        # overhead, not by its (NB, 316) element work
-        return rle_body(rle_body(st))
+    def rle_body4(st):
+        # 4x unroll: the RLE loop is bound by per-iteration latency, not by
+        # its (NB, 316) element work (act-masked, so overshoot is safe)
+        return rle_body(rle_body(rle_body(rle_body(st))))
 
     lens0 = jnp.zeros((NB, _RLE_W), jnp.int32)
     st0 = (bp, jnp.zeros((NB,), jnp.int32), jnp.full((NB,), -1, jnp.int32),
            lens0, bbad, jnp.int32(0))
-    bp, _, _, lens, bbad, _ = jax.lax.while_loop(rle_cond, rle_body2, st0)
+    bp, _, _, lens, bbad, _ = jax.lax.while_loop(rle_cond, rle_body4, st0)
 
     # split into litlen / dist lengths (decode-side widths 288 / 32)
     tl = jnp.arange(_N_LL, dtype=jnp.int32)
