@@ -129,6 +129,9 @@ def _extract2(lo: jnp.ndarray, hi: jnp.ndarray, off: jnp.ndarray) -> jnp.ndarray
 
 
 _NWIN = 8                # peek-row width in u32 words (256 bits)
+_CB = 64                 # compact-tail local-compaction row width
+_CPRE = 3                # full doubling rounds before the compact tail
+_CC_MAX = 16             # compact linear-round bound (then full fallback)
 KSYM = 10                # symbols decoded per peek row (window-budgeted)
 LG = 64                  # lanes per dense-lookup group
 
@@ -745,18 +748,75 @@ def decode_blocks(comp_words: jnp.ndarray,
         vn = jnp.where(tag, hop, v)
         return vn, jnp.any((vn & _TAG) != 0), rr + 1
 
+    # Compact-tail finishing (round-5b): after _CPRE full doubling rounds
+    # the tagged minority (depth > 2^_CPRE, ~8% of S on text) no longer
+    # justifies full-S gather rounds. tools/probe_compact.py rejected the
+    # obvious extraction (full-S mostly-dropped scatter: ~280 ms/8M —
+    # pathological on this stack); tools/probe_compact2.py replaces it with
+    # the round-5 dense small-index mechanism and wins:
+    #   * front-compact tagged lanes inside 64-lane rows with a fused
+    #     one-hot compare-select-reduce (index space 64 => dense > gather);
+    #   * locate the k-th tagged element via two tiny scatter-max + cummax
+    #     segment fills over CAP (row id + row offset) — no searchsorted;
+    #   * ONE CAP row gather pulls compacted global indices; compact rounds
+    #     hop through the FROZEN full array (every still-tagged pointer is
+    #     2^_CPRE-hop-composed, so each linear round advances 2^_CPRE
+    #     chain hops); scatter-back is CAP updates, ALL kept.
+    # If the tagged count exceeds CAP (adversarial data) or tags survive
+    # _CC_MAX compact rounds, the checked full-round loop below finishes —
+    # correctness never depends on the compact phase.
+    use_compact = ("nocmp" not in _abl) and S % _CB == 0 and S >= (1 << 18)
     if "chase" in _abl:                               # profiling stub
         v, unconverged = v0, jnp.asarray(False)
-    else:
-        # NOTE round-5 negative result (tools/probe_compact.py): extracting
-        # the post-round-3 tagged minority (8% of S) into a compact array
-        # costs ~280 ms per 8M positions in the extraction scatter alone —
-        # scatters whose updates are mostly dropped/OOB lower pathologically
-        # on this stack — so compact-tail finishing LOSES to simply running
-        # the remaining full-size rounds (~56 ms each, convergence-checked;
-        # the per-round jnp.any is free: fix5 == chk5 in the probe).
+    elif not use_compact:
         v, unconverged, _ = jax.lax.while_loop(
             c_cond, c_body, (v0, jnp.any((v0 & _TAG) != 0), jnp.int32(0)))
+    else:
+        v1, ch1, rr1 = jax.lax.while_loop(
+            lambda st: st[1] & (st[2] < _CPRE), c_body,
+            (v0, jnp.any((v0 & _TAG) != 0), jnp.int32(0)))
+        CAP = S // 8
+        R = S // _CB
+        m = (v1 & _TAG) != 0
+        mr = m.reshape(R, _CB)
+        ti = mr.astype(jnp.int32)
+        rank = jnp.cumsum(ti, axis=1) - ti
+        cnt = jnp.sum(ti, axis=1)
+        off = _scans.cumsum(cnt)
+        off_x = off - cnt
+        total = off[-1]
+
+        def _compact(vin):
+            gi = jnp.arange(S, dtype=jnp.int32).reshape(R, _CB)
+            lane = jnp.arange(_CB, dtype=jnp.int32)
+            w = mr[:, :, None] & (rank[:, :, None] == lane[None, None, :])
+            lci = jnp.sum(jnp.where(w, gi[:, :, None], 0), axis=1)
+            ks = jnp.arange(CAP, dtype=jnp.int32)
+            dst = jnp.where(cnt > 0, jnp.clip(off_x, 0, CAP - 1), CAP)
+            rows = _scans.cummax(jnp.zeros((CAP,), jnp.int32).at[dst].max(
+                jnp.arange(R, dtype=jnp.int32), mode="drop"))
+            offs = _scans.cummax(jnp.zeros((CAP,), jnp.int32).at[dst].max(
+                off_x, mode="drop"))
+            live = ks < total
+            src = jnp.clip(rows * _CB + (ks - offs), 0, S - 1)
+            cidx = jnp.where(live, lci.reshape(-1)[src], 0)
+            cval = vin[cidx]
+
+            def cc_body(st):
+                cv, ch, rr = st
+                tag = live & ((cv & _TAG) != 0)
+                hop = vin[jnp.clip((cv & _ADDR).astype(jnp.int32), 0, S - 1)]
+                cvn = jnp.where(tag, hop, cv)
+                return cvn, jnp.any(live & ((cvn & _TAG) != 0)), rr + 1
+
+            cval, _, _ = jax.lax.while_loop(
+                lambda st: st[1] & (st[2] < _CC_MAX), cc_body,
+                (cval, jnp.any(live & ((cval & _TAG) != 0)), jnp.int32(0)))
+            return vin.at[cidx].set(cval)
+
+        v2 = jax.lax.cond(ch1 & (total <= CAP), _compact, lambda x: x, v1)
+        v, unconverged, _ = jax.lax.while_loop(
+            c_cond, c_body, (v2, jnp.any((v2 & _TAG) != 0), rr1))
 
     out = (v & np.uint32(0xFF)).astype(jnp.uint8)
     out = jnp.where(j_idx < valid_out, out, jnp.uint8(0))

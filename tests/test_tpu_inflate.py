@@ -268,3 +268,29 @@ def test_decode_blocks_batch_flags_corruption():
             assert out[0].tobytes() == raws[0]
             assert out[1].tobytes() != raws[1]
     assert flagged >= 2
+
+
+def test_compact_tail_chase_256k():
+    """S >= 1<<18 activates the scatter-free compact-tail chase
+    (tpu_inflate._compact): the result must be bit-exact AND identical to
+    the plain full-round loop (_ablate='nocmp')."""
+    from deflate_compression_tpu.decode.tpu_inflate import decode_blocks
+
+    SB = 1 << 18
+    base = (open("/root/reference/docs/rfc1951.txt", "rb").read()
+            + open("/root/reference/test_files/original/"
+                   "bee_movie_script.txt", "rb").read())
+    raw = (base * (SB // len(base) + 1))[:SB]
+    vl = len(raw)
+    assert vl == SB
+    buf = np.frombuffer(raw, np.uint8)
+    r = encode_shard_jit(jnp.asarray(buf), jnp.int32(vl), jnp.asarray(True))
+    args = (r["words"], r["block_bit_base"], r["block_out_start"],
+            r["btype"], r["n_blocks"], r["sub_bit"], r["sub_out"],
+            r["sub_blk"], jnp.int32(r["sub_bit"].shape[0]), jnp.int32(vl))
+    res = decode_blocks(*args, SB)
+    assert bool(res["ok"])
+    assert np.asarray(res["out"])[:vl].tobytes() == raw
+    ref = decode_blocks(*args, SB, _ablate="nocmp")
+    assert bool(ref["ok"])
+    assert np.array_equal(np.asarray(ref["out"]), np.asarray(res["out"]))

@@ -201,7 +201,9 @@ def main():
                                     dtype=jnp.uint32)
         return fn
 
-    stages = [("dec_null", dec_null), ("dec_null2", dec_null),
+    stages = [("t4_nocmp", make_t4("nocmp")),
+              ("t4_nocmpb", make_t4("nocmp")),
+              ("dec_null", dec_null), ("dec_null2", dec_null),
               ("t4_hdronly", make_t4("", kill_lanes=True)),
               ("t4_nochase", make_t4("chase")),
               ("dec_flat", dec_flat), ("dec_flat2", dec_flat),
@@ -213,6 +215,10 @@ def main():
               ("nb-canon", make_ablate("slices,lut,canon")),
               ("nb-min", make_ablate("slices,lut,canon,toksc,hw")),
               ("nb-min-scan", make_ablate("slices,lut,canon,toksc,hw,scans"))]
+    sel = sys.argv[1:]
+    if sel:
+        stages = [(n2, f) for n2, f in stages
+                  if any(n2.startswith(s) for s in sel)]
     for name, fn in stages:
         try:
             t0 = time.perf_counter()
