@@ -183,12 +183,12 @@ def main():
                 jnp.sum(bb, dtype=jnp.int32)
                 + jnp.sum(sk, dtype=jnp.int32))
 
-    def make_t4(abl, kill_lanes=False):
+    def make_t4(abl, kill_lanes=False, tiles=4):
         def fn(args, salt):
             words, bb, bo, bt, nb, sb, so, sk = args
 
             def t(x):
-                return jnp.tile(x, (4,) + (1,) * (x.ndim - 1))
+                return jnp.tile(x, (tiles,) + (1,) * (x.ndim - 1))
             words = t(words)
             words = words.at[:, -1].add(salt + jnp.arange(
                 words.shape[0], dtype=jnp.uint32))
@@ -201,7 +201,9 @@ def main():
                                     dtype=jnp.uint32)
         return fn
 
-    stages = [("t4_nocmp", make_t4("nocmp")),
+    stages = [("t8_flat", make_t4("", tiles=8)),
+              ("t8_flatb", make_t4("", tiles=8)),
+              ("t4_nocmp", make_t4("nocmp")),
               ("t4_nocmpb", make_t4("nocmp")),
               ("dec_null", dec_null), ("dec_null2", dec_null),
               ("t4_hdronly", make_t4("", kill_lanes=True)),
