@@ -131,6 +131,8 @@ def _extract2(lo: jnp.ndarray, hi: jnp.ndarray, off: jnp.ndarray) -> jnp.ndarray
 _NWIN = 8                # peek-row width in u32 words (256 bits)
 _CB = 64                 # compact-tail local-compaction row width
 _CPRE = 3                # full doubling rounds before the compact tail
+_CDIV = 8                # compact capacity = S // _CDIV (tail overflows
+                         # beyond it fall back to full rounds)
 _CC_MAX = 16             # compact linear-round bound (then full fallback)
 KSYM = 10                # symbols decoded per peek row (window-budgeted)
 LG = 64                  # lanes per dense-lookup group
@@ -775,7 +777,7 @@ def decode_blocks(comp_words: jnp.ndarray,
         v1, ch1, rr1 = jax.lax.while_loop(
             lambda st: st[1] & (st[2] < _CPRE), c_body,
             (v0, jnp.any((v0 & _TAG) != 0), jnp.int32(0)))
-        CAP = S // 8
+        CAP = S // _CDIV
         R = S // _CB
         m = (v1 & _TAG) != 0
         mr = m.reshape(R, _CB)
