@@ -789,10 +789,16 @@ def decode_blocks(comp_words: jnp.ndarray,
         total = off[-1]
 
         def _compact(vin):
-            gi = jnp.arange(S, dtype=jnp.int32).reshape(R, _CB)
+            # dense-compact BOTH payloads (global index + current value) so
+            # one (CAP, 2) ROW gather replaces two CAP element gathers (row
+            # gathers cost per row, not per element — ROADMAP governing fact)
+            gi = jnp.arange(S, dtype=jnp.uint32).reshape(R, _CB)
+            vr = vin.reshape(R, _CB)
             lane = jnp.arange(_CB, dtype=jnp.int32)
             w = mr[:, :, None] & (rank[:, :, None] == lane[None, None, :])
-            lci = jnp.sum(jnp.where(w, gi[:, :, None], 0), axis=1)
+            lci = jnp.sum(jnp.where(w, gi[:, :, None], np.uint32(0)), axis=1)
+            lcv = jnp.sum(jnp.where(w, vr[:, :, None], np.uint32(0)), axis=1)
+            ilv = jnp.stack([lci.reshape(-1), lcv.reshape(-1)], axis=1)
             ks = jnp.arange(CAP, dtype=jnp.int32)
             dst = jnp.where(cnt > 0, jnp.clip(off_x, 0, CAP - 1), CAP)
             rows = _scans.cummax(jnp.zeros((CAP,), jnp.int32).at[dst].max(
@@ -801,8 +807,11 @@ def decode_blocks(comp_words: jnp.ndarray,
                 off_x, mode="drop"))
             live = ks < total
             src = jnp.clip(rows * _CB + (ks - offs), 0, S - 1)
-            cidx = jnp.where(live, lci.reshape(-1)[src], 0)
-            cval = vin[cidx]
+            pair = ilv[src]                           # (CAP, 2) row gather
+            cidx = jnp.where(live, pair[:, 0].astype(jnp.int32), 0)
+            # junk lanes (k >= total) must write their own unchanged value
+            # back at index 0: seed them with vin[0]
+            cval = jnp.where(live, pair[:, 1], vin[0])
 
             def cc_body(st):
                 cv, ch, rr = st
