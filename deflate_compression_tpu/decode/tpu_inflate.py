@@ -23,7 +23,11 @@ Decompression" / rapidgzip):
     (a match at start s, dist d pulls byte j from s - d + ((j-s) mod d) —
     the reference's byte-serial back-copy src/deflate_decompress.c:47-57
     replays this one byte at a time), then convergence-checked pointer
-    doubling resolves cross-token chains in log2(chain-depth) gathers.
+    doubling resolves cross-token chains in log2(chain-depth) gathers;
+    after _CPRE rounds the tagged minority is extracted SCATTER-FREE
+    (dense 64-lane front-compaction + segment fills) and finished in
+    CAP = S/_CDIV-sized gathers through the frozen array (each remaining
+    pointer is 2^_CPRE-hop-composed).
 
 Strictness (never return silently-wrong data): invalid prefixes (cl == 0),
 litlen symbols >= 286 and dist symbols >= 30 (RFC 1951 §3.2.5-3.2.6 "will
