@@ -112,3 +112,17 @@ def test_indexed_decode_verifies_adler():
     assert decompress_indexed(comp, idx, expected_adler=good) == raw
     with pytest.raises(DeflateError):
         decompress_indexed(comp, idx, expected_adler=good ^ 0x10000)
+
+
+def test_indexed_decode_large_shard_compact_chase():
+    """shard_out >= 1<<18 routes the device decode through the round-5b
+    scatter-free compact-tail chase (tpu_inflate._compact) on the indexed
+    USER path; output must stay byte-exact."""
+    base = (open("/root/reference/docs/rfc1951.txt", "rb").read()
+            + open("/root/reference/test_files/original/"
+                   "bee_movie_script.txt", "rb").read())
+    raw = (base * ((1 << 19) // len(base) + 1))[:1 << 19]
+    comp = deflate_compress_bytes(raw, shard_size=1 << 18)
+    idx = build_index(comp)
+    got = decompress_indexed(comp, idx, shard_out=1 << 18)
+    assert got == raw
