@@ -201,7 +201,9 @@ def main():
                                     dtype=jnp.uint32)
         return fn
 
-    stages = [("t8_flat", make_t4("", tiles=8)),
+    stages = [("t4_nosto", make_t4("slices")),
+              ("t4_nostob", make_t4("slices")),
+              ("t8_flat", make_t4("", tiles=8)),
               ("t8_flatb", make_t4("", tiles=8)),
               ("t4_nocmp", make_t4("nocmp")),
               ("t4_nocmpb", make_t4("nocmp")),
