@@ -169,11 +169,16 @@ def main():
         if best is not None:
             print(f"{stage:10s} {best*1000:8.1f} ms  ({out:#x})", flush=True)
 
-    # correctness: compact_finish result == full-rounds result
+    # correctness: compact_finish result == full-rounds result. Salt 0 ONLY:
+    # a nonzero salt flips bit 0 of every element INCLUDING tagged pointers
+    # (fine for timing, but it can create self-loops — addr == own index —
+    # that neither loop can converge; values still agree, only the probe's
+    # unconverged-flag bit differs). decode correctness is covered by
+    # tests/test_tpu_inflate.py::test_compact_tail_chase_256k.
     f5 = mkfn("full5")
     c8 = mkfn("compact8")
-    a = int(np.asarray(f5(dv, jnp.uint32(7))))
-    b = int(np.asarray(c8(dv, jnp.uint32(7))))
+    a = int(np.asarray(f5(dv, jnp.uint32(0))))
+    b = int(np.asarray(c8(dv, jnp.uint32(0))))
     print(f"# checksum full5={a:#x} compact8={b:#x} "
           f"{'MATCH' if a == b else 'MISMATCH'}", flush=True)
 
